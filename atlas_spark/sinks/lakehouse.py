@@ -1,0 +1,375 @@
+"""Manifest-committed ACID parquet table with MERGE semantics.
+
+The primary sink in this sandbox (no Iceberg/Delta jars offline —
+SURVEY.md §7.3/7.4).  It implements the commit protocol of the Delta
+Lake paper (VLDB 2020) reduced to a filesystem:
+
+* immutable parquet data files, grouped into ``n_buckets`` hash
+  buckets on the PRIMARY KEY ``hash(repo, path)`` — bucketing on the
+  full key (not ``repo`` alone) makes hot repos a non-event for both
+  the merge shuffle and the write distribution;
+* a JSON **manifest** per version listing live files per bucket, the
+  unified table schema, cumulative per-bucket watermarks, and the
+  **epoch fence**;
+* commits are: write new data files → write ``manifest.<v+1>.json`` →
+  atomically ``os.replace`` the ``CURRENT`` pointer.  A crash at any
+  point leaves the previous version intact; orphan files are ignored.
+
+MERGE plan (scale notes):
+  the existing side (touched buckets only — manifest-level partition
+  pruning) is NEVER shuffled.  The micro-batch's LWW winners are
+  broadcast; existing rows split into hit/miss via broadcast
+  semi/anti joins; only ≤ 2×|batch| rows enter the window that
+  resolves the ``incoming.seq >= existing.seq`` guard.  Write
+  amplification is bounded by bucket granularity (copy-on-write of
+  touched buckets only) — at cluster scale, raise ``n_buckets`` so a
+  bucket ≈ a few GB.
+
+Reference analogs: keyed upsert ``ON CONFLICT (id) DO UPDATE``
+(``/root/reference/src/adapters/postgresql/adapter.rs:133-144``),
+partition-keyed containers (``cosmosdb/client.rs:135-139``), watermark
+checkpointing (``core/export/batch.rs:337-353``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .base import Sink
+
+KEY_COLS = ["repo", "path"]
+
+# columns every stored row has; evolved payload columns are appended
+# to the manifest schema as they first appear.
+BASE_FIELDS: list[tuple[str, str]] = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+    ("content_sha256", "string"),
+    ("seq", "bigint"),
+    ("is_deleted", "boolean"),
+]
+
+_PROMOTE = {"integer": 1, "bigint": 2, "double": 3}
+_NUMERIC_NAMES = {1: "integer", 2: "bigint", 3: "double"}
+
+
+def _promote(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a in _PROMOTE and b in _PROMOTE:
+        return _NUMERIC_NAMES[max(_PROMOTE[a], _PROMOTE[b])]
+    raise ValueError(f"incompatible schema evolution: {a} vs {b}")
+
+
+def _ddl(fields: list[tuple[str, str]]) -> T.StructType:
+    return T.StructType.fromDDL(
+        ", ".join(f"`{n}` {t}" for n, t in fields)
+    )
+
+
+class LakehouseSink(Sink):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        broadcast_key_limit: int = 2_000_000,
+    ):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        self.broadcast_key_limit = broadcast_key_limit
+        self._manifest_dir = os.path.join(root, "_manifests")
+        self._current = os.path.join(self._manifest_dir, "CURRENT")
+
+    # ---------------------------------------------------------- manifest
+    def ensure(self) -> None:
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        if not os.path.exists(self._current):
+            m = {
+                "version": 0,
+                "epoch_id": -1,
+                "committed_epoch_max": -1,
+                "n_buckets": self.n_buckets,
+                "schema": BASE_FIELDS,
+                "files": {},
+                "watermarks": {},  # bucket -> cumulative max seq applied
+                "stats": {"rows": 0, "tombstones": 0},
+            }
+            self._write_manifest(m)
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"manifest.{version:08d}.json")
+
+    def manifest(self) -> dict:
+        with open(self._current) as f:
+            version = int(f.read().strip())
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def _write_manifest(self, m: dict) -> None:
+        path = self._manifest_path(m["version"])
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        ptr_tmp = self._current + ".tmp"
+        with open(ptr_tmp, "w") as f:
+            f.write(str(m["version"]))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptr_tmp, self._current)
+
+    def last_committed_epoch(self) -> int:
+        return self.manifest()["committed_epoch_max"]
+
+    # ---------------------------------------------------------- helpers
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64(F.col("repo"), F.col("path")),
+                      F.lit(self.n_buckets)).cast("int")
+
+    def _read_files(self, files: list[str], schema_fields: list) -> DataFrame:
+        schema = _ddl([tuple(x) for x in schema_fields])
+        paths = [os.path.join(self.root, p) for p in files]
+        # explicit unified schema: files from before a column existed
+        # surface it as null — the storage half of schema evolution.
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _align(self, df: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
+        cols = []
+        have = {f.name: f for f in df.schema.fields}
+        for name, ddl_type in fields:
+            if name in have:
+                cols.append(F.col(name).cast(ddl_type).alias(name))
+            else:
+                cols.append(F.lit(None).cast(ddl_type).alias(name))
+        return df.select(*cols)
+
+    def _unified_schema(self, current: list, batch_df: DataFrame) -> list:
+        known = {n: t for n, t in (tuple(x) for x in current)}
+        order = [tuple(x) for x in current]
+        base_names = {n for n, _ in BASE_FIELDS}
+        for f in batch_df.schema.fields:
+            if f.name in base_names or f.name.startswith("_"):
+                continue
+            ddl_type = f.dataType.simpleString()
+            if f.name in known:
+                promoted = _promote(known[f.name], ddl_type)
+                order = [
+                    (n, promoted if n == f.name else t) for n, t in order
+                ]
+                known[f.name] = promoted
+            else:
+                order.append((f.name, ddl_type))
+                known[f.name] = ddl_type
+        return [list(x) for x in order]
+
+    # ------------------------------------------------------------- merge
+    def merge(self, batch_df: DataFrame, epoch_id: int) -> dict:
+        """Apply one micro-batch of change events (I/U/D rows).
+
+        Expects columns: repo, path, commit, lang, content, seq, op
+        (+ any evolved typed columns).  Idempotent per epoch.
+        """
+        t0 = time.monotonic()
+        m = self.manifest()
+        if epoch_id <= m["committed_epoch_max"]:
+            return {"epoch_id": epoch_id, "skipped": True}
+
+        fields = self._unified_schema(m["schema"], batch_df)
+
+        # in-batch LWW: newest event per key wins (deterministic ties)
+        w = Window.partitionBy(*KEY_COLS).orderBy(
+            F.col("seq").desc(), F.col("op").asc(), F.col("commit").asc()
+        )
+        batchw = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("is_deleted", F.col("op") == F.lit("D"))
+            # tombstones carry key+seq only; payload nulled
+            .withColumn("commit", F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col("commit")))
+            .withColumn("lang", F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col("lang")))
+            .withColumn("content", F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col("content")))
+            .withColumn(
+                "content_sha256",
+                F.when(F.col("is_deleted"), F.lit(None)).otherwise(
+                    F.sha2(F.col("content"), 256)
+                ),
+            )
+            .drop("op")
+        )
+        batchw = self._align(batchw, [tuple(x) for x in fields]).withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        batchw = batchw.localCheckpoint(eager=True)  # cut lineage; batch is bounded
+
+        rows_in = batch_df.count()
+        # one small agg yields touched buckets, per-bucket watermark,
+        # per-bucket row counts and delete counts all at once
+        bucket_stats = batchw.groupBy("_bucket").agg(
+            F.max("seq").alias("max_seq"),
+            F.count("*").alias("cnt"),
+            F.sum(F.col("is_deleted").cast("long")).alias("dels"),
+        ).collect()
+        n_batch = sum(r["cnt"] for r in bucket_stats)
+        n_deletes = sum(r["dels"] for r in bucket_stats)
+        if n_batch == 0:
+            res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
+            res.update(
+                rows_in=0, upserts=0, duplicates_skipped=0,
+                bucket_watermarks={}, rows_per_bucket={},
+                duration_ms=int((time.monotonic() - t0) * 1000),
+            )
+            return res
+
+        touched = [r["_bucket"] for r in bucket_stats]
+        old_files = {str(b): m["files"].get(str(b), []) for b in touched}
+        have_existing = any(old_files.values())
+
+        if have_existing:
+            existing = self._read_files(
+                [p for fl in old_files.values() for p in fl], fields
+            ).withColumn("_bucket", self._bucket_expr())
+            bkeys = batchw.select(*KEY_COLS)
+            # broadcast the batch keys: existing side is never shuffled
+            hit = existing.join(F.broadcast(bkeys), KEY_COLS, "left_semi")
+            miss = existing.join(F.broadcast(bkeys), KEY_COLS, "left_anti")
+            # resolve LWW guard: incoming wins ties (seq >= semantics)
+            resolved = (
+                hit.withColumn("_incoming", F.lit(0))
+                .unionByName(batchw.withColumn("_incoming", F.lit(1)))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy(*KEY_COLS).orderBy(
+                            F.col("seq").desc(), F.col("_incoming").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_incoming")
+            )
+            out = miss.unionByName(resolved)
+        else:
+            out = batchw
+
+        new_files, _ = self._write_buckets(out, epoch_id)
+
+        # cumulative per-bucket watermarks (atlas watermark analog,
+        # core/export/batch.rs:337-343 — but true max(seq), not
+        # positional-last, for out-of-order safety)
+        wm = {str(r["_bucket"]): int(r["max_seq"]) for r in bucket_stats}
+        rows_per_bucket = {str(r["_bucket"]): int(r["cnt"]) for r in bucket_stats}
+
+        metrics = self._commit(m, new_files, wm, fields, epoch_id,
+                               rows_in, n_deletes)
+        metrics.update(
+            rows_in=rows_in,
+            upserts=n_batch - n_deletes,
+            duplicates_skipped=rows_in - n_batch,
+            bucket_watermarks=wm,
+            rows_per_bucket=rows_per_bucket,
+            duration_ms=int((time.monotonic() - t0) * 1000),
+        )
+        return metrics
+
+    def _write_buckets(self, out: DataFrame, epoch_id: int):
+        token = uuid.uuid4().hex[:8]
+        rel_dir = f"data/e{epoch_id:06d}-{token}"
+        abs_dir = os.path.join(self.root, rel_dir)
+        # one file per bucket: repartition by the bucket column so each
+        # task writes whole buckets; partitionBy splits them into dirs.
+        (
+            out.repartition(max(1, min(self.n_buckets, 64)), F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(abs_dir)
+        )
+        new_files: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(abs_dir)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            bdir = os.path.join(abs_dir, entry)
+            new_files[b] = [
+                os.path.join(rel_dir, entry, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+        return new_files, {}
+
+    def _commit(self, m, new_files, wm, fields, epoch_id, rows_in, deletes):
+        files = dict(m["files"])
+        files.update(new_files)
+        watermarks = dict(m["watermarks"])
+        for b, s in wm.items():
+            watermarks[b] = max(int(watermarks.get(b, -1)), s)
+        m2 = {
+            "version": m["version"] + 1,
+            "epoch_id": epoch_id,
+            "committed_epoch_max": max(m["committed_epoch_max"], epoch_id),
+            "n_buckets": m["n_buckets"],
+            "schema": fields,
+            "files": files,
+            "watermarks": watermarks,
+            "stats": m.get("stats", {}),
+        }
+        self._write_manifest(m2)
+        return {
+            "epoch_id": epoch_id,
+            "skipped": False,
+            "rows": rows_in,
+            "deletes": deletes,
+            "version": m2["version"],
+        }
+
+    # -------------------------------------------------------------- read
+    def read(self, include_tombstones: bool = False) -> DataFrame:
+        m = self.manifest()
+        all_files = [p for fl in m["files"].values() for p in fl]
+        schema = _ddl([tuple(x) for x in m["schema"]])
+        if not all_files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, p) for p in all_files]
+        )
+        if not include_tombstones:
+            df = df.filter(~F.col("is_deleted"))
+        return df
+
+    def compact(self, epoch_id: int | None = None) -> dict:
+        """Drop tombstones and rewrite buckets (small-file compaction).
+
+        Run at end of replay / periodically; reference has no analog
+        (its sink is a DB) but copy-on-write lakes need it.
+        """
+        m = self.manifest()
+        eid = epoch_id if epoch_id is not None else m["committed_epoch_max"]
+        live = self.read(include_tombstones=False).withColumn(
+            "_bucket", self._bucket_expr()
+        )
+        new_files, _ = self._write_buckets(live, eid)
+        files = {b: new_files.get(b, []) for b in m["files"]}
+        files.update(new_files)
+        m2 = dict(m)
+        m2["version"] = m["version"] + 1
+        m2["files"] = files
+        self._write_manifest(m2)
+        return {"version": m2["version"], "buckets": len(new_files)}
+
+    def watermarks(self) -> dict[str, int]:
+        return dict(self.manifest()["watermarks"])
