@@ -59,8 +59,14 @@ BASE_FIELDS: list[tuple[str, str]] = [
     ("is_deleted", "boolean"),
 ]
 
-_PROMOTE = {"integer": 1, "bigint": 2, "double": 3}
-_NUMERIC_NAMES = {1: "integer", 2: "bigint", 3: "double"}
+# numeric widening lattice (int → long → double); both Spark DDL
+# spellings accepted, canonical name emitted
+_PROMOTE = {
+    "tinyint": 0, "smallint": 1, "int": 2, "integer": 2,
+    "bigint": 3, "long": 3, "float": 4, "double": 5,
+}
+_NUMERIC_NAMES = {0: "tinyint", 1: "smallint", 2: "int", 3: "bigint",
+                  4: "float", 5: "double"}
 
 
 def _promote(a: str, b: str) -> str:

@@ -1,0 +1,91 @@
+"""Kill-between-epochs + restart → byte-identical final state, no
+double-apply (exactly-once via the manifest epoch fence)."""
+
+from atlas_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
+from atlas_spark.sinks import LakehouseSink
+from atlas_spark.streaming import ControlTables, ReplayRunner
+
+from tests.test_replay_core import check_against_oracle
+
+
+def test_kill_and_resume_converges(spark, tmp_path):
+    spec = ChangelogSpec(
+        n_events=3000, n_repos=12, paths_per_repo=30,
+        delete_frac=0.10, out_of_order_deletes=10, duplicate_frac=0.02,
+    )
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=8)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=8)
+    sink.ensure()
+    control = ControlTables(root)
+    runner = ReplayRunner(spark, sink, control, files_per_epoch=2)
+
+    # first run: killed after 2 of 4 epochs
+    s1 = runner.run(log_dir, stop_after_epochs=2)
+    assert s1.epochs_applied == 2
+    assert sink.last_committed_epoch() == 1
+
+    # restart with FRESH objects (nothing in memory survives the kill)
+    sink2 = LakehouseSink(spark, root, n_buckets=8)
+    control2 = ControlTables(root)
+    runner2 = ReplayRunner(spark, sink2, control2, files_per_epoch=2)
+    s2 = runner2.run(log_dir)
+    assert s2.epochs_skipped == 2
+    assert s2.epochs_applied == 2
+    check_against_oracle(spark, sink2, changelog)
+
+    # third run: everything fenced, nothing reapplied, state unchanged
+    v_before = sink2.manifest()["version"]
+    s3 = ReplayRunner(spark, sink2, control2, files_per_epoch=2).run(log_dir)
+    assert s3.epochs_applied == 0 and s3.epochs_skipped == 4
+    assert sink2.manifest()["version"] == v_before
+    check_against_oracle(spark, sink2, changelog)
+
+
+def test_redelivered_epoch_is_fenced(spark, tmp_path):
+    """Directly re-merge an already-committed epoch → skipped no-op
+    (foreachBatch redelivery after crash-before-checkpoint)."""
+    spec = ChangelogSpec(n_events=500, n_repos=5, paths_per_repo=10)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=2)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=4)
+    sink.ensure()
+    runner = ReplayRunner(spark, sink, files_per_epoch=2)
+    runner.run(log_dir)
+    v = sink.manifest()["version"]
+
+    df = spark.read.parquet(log_dir)
+    from atlas_spark.streaming.runner import prepare_batch
+    res = sink.merge(prepare_batch(df, runner.rules), epoch_id=0)
+    assert res["skipped"] is True
+    assert sink.manifest()["version"] == v
+
+
+def test_interrupted_epoch_marked_on_resume(spark, tmp_path):
+    spec = ChangelogSpec(n_events=400, n_repos=4, paths_per_repo=8)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=4)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=4)
+    sink.ensure()
+    control = ControlTables(root)
+    # simulate crash mid-epoch: started but never completed
+    control.mark_started(7)
+    runner = ReplayRunner(spark, sink, control, files_per_epoch=2)
+    s = runner.run(log_dir)
+    assert 7 in s.interrupted_recovered
+    wm = control.watermarks_df(spark)
+    statuses = {
+        r["epoch_id"]: r["status"]
+        for r in wm.select("epoch_id", "status").distinct().collect()
+    }
+    assert statuses[7] == "interrupted"
+    assert statuses[0] == "completed"

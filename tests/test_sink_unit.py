@@ -1,0 +1,147 @@
+"""Unit-level MERGE semantics: seq guards, tombstones, compaction,
+schema promotion — direct sink API, no generator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_spark.sinks import LakehouseSink
+from atlas_spark.sinks.lakehouse import _promote
+
+COLS = ["seq", "op", "repo", "path", "commit", "lang", "content"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "seq bigint, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+
+
+def _mk(spark, tmp_path, n_buckets=4):
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=n_buckets)
+    sink.ensure()
+    return sink
+
+
+def test_lww_within_batch(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.merge(
+        _df(spark, [
+            [1, "I", "r", "a", "c1", "py", "v1"],
+            [3, "U", "r", "a", "c3", "py", "v3"],
+            [2, "U", "r", "a", "c2", "py", "v2"],
+        ]),
+        0,
+    )
+    rows = sink.read().collect()
+    assert len(rows) == 1
+    assert rows[0]["commit"] == "c3" and rows[0]["seq"] == 3
+
+
+def test_cross_batch_guard_rejects_older(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[5, "U", "r", "a", "c5", "py", "v5"]]), 0)
+    # later batch delivers an OLDER update — must not regress
+    sink.merge(_df(spark, [[4, "U", "r", "a", "c4", "py", "v4"]]), 1)
+    rows = sink.read().collect()
+    assert rows[0]["commit"] == "c5"
+
+
+def test_cross_batch_late_delete_loses(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[7, "U", "r", "a", "c7", "py", "v7"]]), 0)
+    sink.merge(_df(spark, [[6, "D", "r", "a", "c6", "py", "v6"]]), 1)
+    assert sink.read().count() == 1
+
+
+def test_delete_then_smaller_upsert_stays_deleted(spark, tmp_path):
+    """Tombstone with seq 9 must reject a later-arriving upsert seq 8 —
+    this is WHY tombstones are kept physically (SURVEY.md §7.3)."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[8, "I", "r", "a", "c8", "py", "v8"]]), 0)
+    sink.merge(_df(spark, [[9, "D", "r", "a", None, None, None]]), 1)
+    assert sink.read().count() == 0
+    sink.merge(_df(spark, [[8, "U", "r", "a", "c8", "py", "v8"]]), 2)
+    assert sink.read().count() == 0  # still deleted
+    sink.merge(_df(spark, [[10, "U", "r", "a", "cA", "py", "vA"]]), 3)
+    rows = sink.read().collect()
+    assert len(rows) == 1 and rows[0]["commit"] == "cA"
+
+
+def test_delete_nonexistent_key_creates_tombstone(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[3, "D", "r", "ghost", None, None, None]]), 0)
+    assert sink.read().count() == 0
+    assert sink.read(include_tombstones=True).count() == 1
+
+
+def test_compaction_drops_tombstones_keeps_state(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.merge(
+        _df(spark, [
+            [1, "I", "r", "a", "c1", "py", "v1"],
+            [2, "I", "r", "b", "c2", "py", "v2"],
+        ]),
+        0,
+    )
+    sink.merge(_df(spark, [[3, "D", "r", "a", None, None, None]]), 1)
+    assert sink.read(include_tombstones=True).count() == 2
+    before = {r["path"]: r["commit"] for r in sink.read().collect()}
+    sink.compact()
+    assert sink.read(include_tombstones=True).count() == 1
+    after = {r["path"]: r["commit"] for r in sink.read().collect()}
+    assert before == after == {"b": "c2"}
+
+
+def test_sha256_matches_builtin(spark, tmp_path):
+    import hashlib
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "hello world"]]), 0)
+    row = sink.read().collect()[0]
+    assert row["content_sha256"] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_mixed_schema_batches_union(spark, tmp_path):
+    """Batch 2 carries an evolved column absent from batch 1: old rows
+    surface it as null, manifest schema widens."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    b2 = _df(spark, [[2, "I", "r", "b", "c2", "py", "v2"]]).withColumn(
+        "lines", F.lit(12).cast("int")
+    )
+    sink.merge(b2, 1)
+    out = {r["path"]: r["lines"] for r in sink.read().collect()}
+    assert out == {"a": None, "b": 12}
+    # widen int→bigint in a later batch
+    b3 = _df(spark, [[3, "U", "r", "a", "c3", "py", "v3"]]).withColumn(
+        "lines", F.lit(5_000_000_000).cast("bigint")
+    )
+    sink.merge(b3, 2)
+    out = {r["path"]: r["lines"] for r in sink.read().collect()}
+    assert out == {"a": 5_000_000_000, "b": 12}
+    types = dict(tuple(x) for x in sink.manifest()["schema"])
+    assert types["lines"] == "bigint"
+
+
+def test_promote_lattice():
+    assert _promote("integer", "bigint") == "bigint"
+    assert _promote("bigint", "double") == "double"
+    assert _promote("string", "string") == "string"
+    with pytest.raises(ValueError):
+        _promote("string", "bigint")
+
+
+def test_bucket_pruning_untouched_files_not_rewritten(spark, tmp_path):
+    """A merge touching one key must not rewrite buckets it doesn't
+    touch — the manifest keeps their old file paths verbatim."""
+    sink = _mk(spark, tmp_path, n_buckets=8)
+    rows = [[i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}"] for i in range(50)]
+    sink.merge(_df(spark, rows), 0)
+    files_before = dict(sink.manifest()["files"])
+    sink.merge(_df(spark, [[100, "U", "r1", "p1", "cX", "py", "vX"]]), 1)
+    files_after = dict(sink.manifest()["files"])
+    changed = [b for b in files_before if files_before[b] != files_after.get(b)]
+    assert len(changed) == 1  # exactly the bucket of (r1, p1)
+    row = [r for r in sink.read().collect() if r["path"] == "p1"][0]
+    assert row["commit"] == "cX"
