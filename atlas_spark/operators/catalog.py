@@ -1,0 +1,564 @@
+"""Driver-contract operator catalog: Spark queries + DuckDB oracles.
+
+One entry per operator family from SURVEY.md §2 (the reference's own
+data operations plus the query surface it delegates to AQL/SQL —
+``/root/reference/src/adapters/openehr/vendor/ehrbase.rs:253-382``,
+``migrations/001_initial_schema.sql:149-176``), plus the
+training-data-pipeline operators (dedup / similarity / text analysis)
+that a 100 TB lake of source documents needs.
+
+Every Spark query aliases its computed columns to the exact names the
+oracle SQL uses (driver hash-compare contract).  All expressions are
+built-in pyspark.sql.functions — JVM-side, whole-stage codegen; no
+Python UDFs anywhere in this catalog.
+
+Demos run on the driver-provided tables (TESTDATA.md):
+``events``   (event_id, ts, user_id, event_type, value, props-json)
+— stands in for the changelog;
+``documents`` (doc_id, text, lang, source, n_chars) — stands in for
+``(repo, path, content, lang)`` content rows;
+``embeddings`` (vec_id, embedding float[64], label).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to TIMESTAMP (files carry NTZ;
+    session TZ is UTC so the cast is wall-clock-identity)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# CDC core (SURVEY §2.6: the delegated query surface we own natively)
+# --------------------------------------------------------------------------
+
+def q_lww_latest(spark, sf_dir):
+    """W5/§2.6 dedup-by-id window — the heart of the LWW merge:
+    row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.unix_micros("ts").alias("last_ts_us"),
+        )
+    )
+
+
+def q_incremental_scan(spark, sf_dir):
+    """S2 incremental change-index scan: rows newer than the watermark
+    (predicate pushed to the parquet scan)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select("event_id", "user_id", "event_type",
+                F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+def q_watermark_agg(spark, sf_dir):
+    """Per-key watermark computation: groupBy(key).agg(max(ts), count)
+    — true max, not positional-last (SURVEY §2.6 per-key max)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_dedup_pairs(spark, sf_dir):
+    """W5 duplicate-skip: distinct key projection."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+def q_antijoin_verify(spark, sf_dir):
+    """O7 verification anti-join: expected keys absent from the sink
+    (customers with no orders as the stand-in)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_point_lookup(spark, sf_dir):
+    """S7 point-read by key (clustered-key filter)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") == 7).select(
+        "event_id", "event_type", "value"
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """§2.6 JSON path extraction (payload decode analog of S3/T6)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_val", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    )
+
+
+def q_orderby_topk(spark, sf_dir):
+    """§2.6 ORDER BY + LIMIT (watermark-scan ordering analog, S6)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("value").desc(), F.col("event_id").asc())
+        .limit(100)
+        .select("event_id", "value")
+    )
+
+
+def q_salted_agg(spark, sf_dir):
+    """§4.2 skew salting: two-phase salted aggregation must equal the
+    plain groupBy (oracle is the unsalted SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(16))
+    )
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count("*").alias("n"), F.max("value").alias("mx")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.max("mx"), 2).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Transform / function surface (SURVEY §2.2, §2.3)
+# --------------------------------------------------------------------------
+
+def q_sha256_content(spark, sf_dir):
+    """T5/A7 + north-star invariant: vectorized sha2(content, 256)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
+
+
+def q_sanitize_names(spark, sf_dir):
+    """T7 key sanitation: lowercase, non-alnum → '_' (ids.rs:229-257
+    to_container_name analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.lower(F.concat_ws("-", "lang", "source")), "[^a-z0-9]", "_"
+        ).alias("table_name"),
+    )
+
+
+def q_uid_split(spark, sf_dir):
+    """T8 UID parse/split (ids.rs:131-144): extract numeric id from a
+    composite string key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "([0-9]+)", 1).cast("int").alias("src_num"),
+    )
+
+
+def q_redact(spark, sf_dir):
+    """A4 redaction: regexp_replace match → [REDACTED_<CAT>]."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 120), "[0-9]+", "[REDACTED_NUM]"
+        ).alias("redacted"),
+    )
+
+
+def q_tokenize_hash(spark, sf_dir):
+    """A5 tokenization strategy, deterministic variant: CAT_<hash>
+    (stateful RNG replaced by a content hash so replays reproduce)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.lit("SRC_"), F.md5(F.col("source"))).alias("token"),
+    )
+
+
+def q_detect_counts(spark, sf_dir):
+    """A2/A9 detection report: per-category match counts + percentile
+    (groupBy + regexp counting, the dry-run report analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("hits", F.regexp_count(F.col("text"), F.lit("data")))
+        .groupBy("lang")
+        .agg(
+            F.sum("hits").alias("total_hits"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+def _words(col="text"):
+    return F.split(F.col(col), " ")
+
+
+# NOTE on higher-order functions: building several python-lambda HOFs
+# (F.transform(..., lambda x: ...)) into ONE plan makes their named
+# lambda variables collide in PySpark 4.1 (observed: nondeterministic
+# minhash values).  SQL-parsed lambdas via F.expr scope correctly, so
+# every multi-lambda expression here is written as SQL.
+_SHINGLE_EXPR = (
+    "CASE WHEN size(split({col}, ' ')) >= 3 THEN "
+    "transform(sequence(1, size(split({col}, ' ')) - 2), "
+    "i -> concat_ws(' ', element_at(split({col}, ' '), i), "
+    "element_at(split({col}, ' '), i+1), element_at(split({col}, ' '), i+2))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
+def _shingles(col="text"):
+    """Word 3-shingles, 1-based indexing to mirror the SQL oracle."""
+    return F.expr(_SHINGLE_EXPR.format(col=col))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content, keep min doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+    )
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures (4 hash families) over word 3-shingles —
+    shingle → md5(seed||shingle) → min; the LSH building block."""
+    d = _t(spark, sf_dir, "documents")
+    out = d.select("doc_id", _shingles().alias("sh"))
+    cols = [
+        F.expr(
+            f"array_min(transform(sh, x -> md5(concat('{s}', x))))"
+        ).alias(f"mh{s}")
+        for s in range(4)
+    ]
+    return out.select("doc_id", *cols)
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """LSH banding: docs sharing a band signature become candidate
+    near-dup pairs (band = mh0 here; equi-join on the bucket key —
+    this is the shuffle-friendly formulation, no O(n²) compare)."""
+    sig = q_minhash_signature(spark, sf_dir).select("doc_id", "mh0")
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, F.col("a.mh0") == F.col("b.mh0"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard similarity for LSH candidate pairs:
+    |A∩B| / |A∪B| over distinct word 3-shingles."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(_shingles()).alias("sh")
+    )
+    pairs = q_lsh_candidate_pairs(spark, sf_dir)
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine similarity vs a query vector (ANN baseline).
+    Dot product via zip_with + aggregate — built-in higher-order
+    functions, no UDF.  Threshold filter (not rank) so float rounding
+    can't flip rows at a rank boundary."""
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+        .collect()[0]["q"]
+    )
+    qlit = "array(" + ", ".join(repr(float(v)) + "D" for v in qvec) + ")"
+    cos = F.expr(
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), " + qlit + ", "
+        "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0.0D, "
+        "(acc, v) -> acc + v * v)) * "
+        "sqrt(aggregate(" + qlit + ", 0.0D, (acc, v) -> acc + v * v)))"
+    )
+    return (
+        e.select("vec_id", F.round(cos, 3).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.2)
+        .filter(F.col("vec_id") != 0)
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_words()).alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), 0
+            )
+        ).alias("bpe_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length / mean-word-length / stopword-ratio
+    heuristics (training-data filtering staple)."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(_words())
+    stop_hits = F.regexp_count(F.col("text"), F.lit("(^| )(the|a)( |$)"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(F.length("text") / n_words, 3).alias("mean_wlen"),
+        F.round(stop_hits / n_words, 4).alias("stop_ratio"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    """Language-ID heuristic: stopword-hit scoring, argmax by CASE —
+    demo shape (the synthetic corpus's lang column is the label)."""
+    d = _t(spark, sf_dir, "documents")
+    en = F.regexp_count(F.col("text"), F.lit("(^| )(the|a|row|data)( |$)"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(en >= 3, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over the sorted distinct vocabulary
+    (word-set normalization — order-insensitive near-dup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(_words())))
+        ).alias("vocab_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_lww_latest": q_lww_latest,
+    "q_incremental_scan": q_incremental_scan,
+    "q_watermark_agg": q_watermark_agg,
+    "q_dedup_pairs": q_dedup_pairs,
+    "q_antijoin_verify": q_antijoin_verify,
+    "q_point_lookup": q_point_lookup,
+    "q_json_extract": q_json_extract,
+    "q_orderby_topk": q_orderby_topk,
+    "q_salted_agg": q_salted_agg,
+    "q_sha256_content": q_sha256_content,
+    "q_sanitize_names": q_sanitize_names,
+    "q_uid_split": q_uid_split,
+    "q_redact": q_redact,
+    "q_tokenize_hash": q_tokenize_hash,
+    "q_detect_counts": q_detect_counts,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_signature": q_minhash_signature,
+    "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_embedding_topk": q_embedding_topk,
+    "q_token_count": q_token_count,
+    "q_quality_score": q_quality_score,
+    "q_langid": q_langid,
+    "q_fingerprint": q_fingerprint,
+}
+
+_SHINGLE_SQL = (
+    "list_transform(generate_series(1, greatest(len({w}) - 2, 0)), "
+    "i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])"
+)
+
+ORACLES: dict[str, str] = {
+    "q_lww_latest": """
+        SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+               value AS last_value, epoch_us(ts) AS last_ts_us
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events
+        ) WHERE rn = 1
+    """,
+    "q_incremental_scan": """
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events WHERE ts > TIMESTAMP '2024-01-03 00:00:00'
+    """,
+    "q_watermark_agg": """
+        SELECT user_id, epoch_us(max(ts)) AS max_ts_us, count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "q_dedup_pairs": "SELECT DISTINCT user_id, event_type FROM events",
+    "q_antijoin_verify": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+    """,
+    "q_point_lookup": """
+        SELECT event_id, event_type, value FROM events WHERE user_id = 7
+    """,
+    "q_json_extract": """
+        SELECT json_extract_string(props, '$.k')::INT AS k_val,
+               count(*) AS n, (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q_orderby_topk": """
+        SELECT event_id, value FROM events
+        ORDER BY value DESC, event_id ASC LIMIT 100
+    """,
+    "q_salted_agg": """
+        SELECT event_type, count(*) AS n_events,
+               round(max(value), 2) AS max_value
+        FROM events GROUP BY event_type
+    """,
+    "q_sha256_content": """
+        SELECT doc_id, sha256(text) AS content_sha256 FROM documents
+    """,
+    "q_sanitize_names": """
+        SELECT doc_id,
+               regexp_replace(lower(lang || '-' || source),
+                              '[^a-z0-9]', '_', 'g') AS table_name
+        FROM documents
+    """,
+    "q_uid_split": """
+        SELECT doc_id, regexp_extract(source, '([0-9]+)', 1)::INT AS src_num
+        FROM documents
+    """,
+    "q_redact": """
+        SELECT doc_id,
+               regexp_replace(substr(text, 1, 120), '[0-9]+',
+                              '[REDACTED_NUM]', 'g') AS redacted
+        FROM documents
+    """,
+    "q_tokenize_hash": """
+        SELECT doc_id, 'SRC_' || md5(source) AS token FROM documents
+    """,
+    "q_detect_counts": """
+        SELECT lang, sum(len(regexp_extract_all(text, 'data'))) AS total_hits,
+               count(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "q_dedup_exact": """
+        SELECT md5(text) AS fp, min(doc_id) AS keeper,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "q_minhash_signature": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        s AS (SELECT doc_id, {_SHINGLE_SQL.format(w='w')} sh FROM t)
+        SELECT doc_id,
+               list_min(list_transform(sh, x -> md5('0' || x))) AS mh0,
+               list_min(list_transform(sh, x -> md5('1' || x))) AS mh1,
+               list_min(list_transform(sh, x -> md5('2' || x))) AS mh2,
+               list_min(list_transform(sh, x -> md5('3' || x))) AS mh3
+        FROM s
+    """,
+    "q_lsh_candidate_pairs": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        s AS (SELECT doc_id,
+                     list_min(list_transform({_SHINGLE_SQL.format(w='w')},
+                                             x -> md5('0' || x))) mh0
+              FROM t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    """,
+    "q_ngram_jaccard": f"""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        s AS (SELECT doc_id, list_distinct({_SHINGLE_SQL.format(w='w')}) sh,
+                     list_min(list_transform({_SHINGLE_SQL.format(w='w')},
+                                             x -> md5('0' || x))) mh0
+              FROM t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        FROM s a JOIN s b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+    """,
+    "q_embedding_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
+        s AS (
+          SELECT vec_id,
+                 round(list_inner_product(embedding::DOUBLE[], (SELECT qe FROM q)) /
+                       (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                        sqrt(list_inner_product((SELECT qe FROM q), (SELECT qe FROM q)))),
+                       3) AS cos_sim
+          FROM embeddings WHERE vec_id != 0
+        )
+        SELECT vec_id, cos_sim FROM s WHERE cos_sim >= 0.2
+    """,
+    "q_token_count": """
+        SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens
+        FROM documents
+    """,
+    "q_quality_score": """
+        SELECT doc_id, length(text) AS n_chars_m,
+               len(string_split(text, ' ')) AS n_words,
+               round(length(text)::DOUBLE / len(string_split(text, ' ')), 3)
+                 AS mean_wlen,
+               round(len(regexp_extract_all(text, '(^| )(the|a)( |$)'))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS stop_ratio
+        FROM documents
+    """,
+    "q_langid": """
+        SELECT doc_id, lang,
+               CASE WHEN len(regexp_extract_all(text,
+                    '(^| )(the|a|row|data)( |$)')) >= 3
+                    THEN 'en' ELSE 'other' END AS lang_pred
+        FROM documents
+    """,
+    "q_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')) AS vocab_fp
+        FROM documents
+    """,
+}
