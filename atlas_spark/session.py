@@ -31,6 +31,15 @@ _BASE_CONF = {
     "spark.ui.showConsoleProgress": "false",
 }
 
+# local[N] runs driver+executors in ONE JVM whose default heap is 1g —
+# 32 concurrent sort/window tasks OOM or GC-thrash under it.  Empirical
+# sweep on this box: 1g → GC-bound, 48g → G1 region/commit pathology
+# (5× slower); 8–16g with ParallelGC and a pinned -Xms is the sweet
+# spot (window stage 14.5s → 1.5s at local[32]).  Overridable via
+# ATLAS_SPARK_DRIVER_MEM.
+_DRIVER_MEM = os.environ.get("ATLAS_SPARK_DRIVER_MEM", "16g")
+_GC_OPTS = f"-XX:+UseParallelGC -Xms{_DRIVER_MEM}"
+
 
 def get_spark(
     app_name: str = "atlas_spark",
@@ -55,6 +64,8 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
+    conf["spark.driver.memory"] = _DRIVER_MEM
+    conf["spark.driver.extraJavaOptions"] = _GC_OPTS
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:
         conf.update(extra_conf)

@@ -144,7 +144,11 @@ class LakehouseSink(Sink):
 
     # ---------------------------------------------------------- helpers
     def _bucket_expr(self):
-        return F.pmod(F.xxhash64(F.col("repo"), F.col("path")),
+        # pmod(murmur3(repo, path), n) — EXACTLY Spark's HashPartitioning
+        # function, so after any shuffle keyed on (repo, path) with
+        # numPartitions % n_buckets aligned, each task holds whole
+        # buckets and the bucketed write needs no extra exchange.
+        return F.pmod(F.hash(F.col("repo"), F.col("path")),
                       F.lit(self.n_buckets)).cast("int")
 
     def _read_files(self, files: list[str], schema_fields: list) -> DataFrame:
@@ -197,12 +201,17 @@ class LakehouseSink(Sink):
 
         fields = self._unified_schema(m["schema"], batch_df)
 
-        # in-batch LWW: newest event per key wins (deterministic ties)
+        # in-batch LWW: newest event per key wins (deterministic ties).
+        # A second frame on the SAME partitioning carries the raw group
+        # count so rows_in needs no extra scan of the source (both
+        # window ops share one shuffle).
         w = Window.partitionBy(*KEY_COLS).orderBy(
             F.col("seq").desc(), F.col("op").asc(), F.col("commit").asc()
         )
+        w_cnt = Window.partitionBy(*KEY_COLS)
         batchw = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
+            batch_df.withColumn("_grp_cnt", F.count("*").over(w_cnt))
+            .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .withColumn("is_deleted", F.col("op") == F.lit("D"))
@@ -218,19 +227,25 @@ class LakehouseSink(Sink):
             )
             .drop("op")
         )
-        batchw = self._align(batchw, [tuple(x) for x in fields]).withColumn(
+        batchw = self._align(batchw, [tuple(x) for x in fields] + [("_grp_cnt", "bigint")]).withColumn(
             "_bucket", self._bucket_expr()
         )
-        batchw = batchw.localCheckpoint(eager=True)  # cut lineage; batch is bounded
+        # cache, not checkpoint: the stats agg below populates it as a
+        # side effect (no dedicated materialization job), and the write
+        # + broadcast joins reuse it
+        batchw = batchw.cache()
 
-        rows_in = batch_df.count()
         # one small agg yields touched buckets, per-bucket watermark,
-        # per-bucket row counts and delete counts all at once
+        # per-bucket row counts, delete counts AND the raw input count
+        # (sum of group counts over the winners) all at once
         bucket_stats = batchw.groupBy("_bucket").agg(
             F.max("seq").alias("max_seq"),
             F.count("*").alias("cnt"),
             F.sum(F.col("is_deleted").cast("long")).alias("dels"),
+            F.sum("_grp_cnt").alias("raw"),
         ).collect()
+        rows_in = int(sum(r["raw"] for r in bucket_stats))
+        batchw = batchw.drop("_grp_cnt")
         n_batch = sum(r["cnt"] for r in bucket_stats)
         n_deletes = sum(r["dels"] for r in bucket_stats)
         if n_batch == 0:
@@ -274,6 +289,7 @@ class LakehouseSink(Sink):
             out = batchw
 
         new_files, _ = self._write_buckets(out, epoch_id)
+        batchw.unpersist()
 
         # cumulative per-bucket watermarks (atlas watermark analog,
         # core/export/batch.rs:337-343 — but true max(seq), not
@@ -297,11 +313,14 @@ class LakehouseSink(Sink):
         token = uuid.uuid4().hex[:8]
         rel_dir = f"data/e{epoch_id:06d}-{token}"
         abs_dir = os.path.join(self.root, rel_dir)
-        # one file per bucket: repartition by the bucket column so each
-        # task writes whole buckets; partitionBy splits them into dirs.
+        # NO repartition: the LWW window upstream already shuffled on
+        # (repo, path) with Spark's HashPartitioning — the same function
+        # as _bucket_expr — so each task holds whole buckets (when
+        # n_buckets is a multiple of shuffle partitions, exactly
+        # n_buckets/partitions dirs per task).  partitionBy splits them
+        # into bucket dirs without moving a row.
         (
-            out.repartition(max(1, min(self.n_buckets, 64)), F.col("_bucket"))
-            .write.partitionBy("_bucket")
+            out.write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(abs_dir)
         )
@@ -365,8 +384,12 @@ class LakehouseSink(Sink):
         """
         m = self.manifest()
         eid = epoch_id if epoch_id is not None else m["committed_epoch_max"]
-        live = self.read(include_tombstones=False).withColumn(
-            "_bucket", self._bucket_expr()
+        live = (
+            self.read(include_tombstones=False)
+            # numPartitions == n_buckets ⇒ partition id == bucket id:
+            # exactly one file per bucket after the write
+            .repartition(self.n_buckets, F.col("repo"), F.col("path"))
+            .withColumn("_bucket", self._bucket_expr())
         )
         new_files, _ = self._write_buckets(live, eid)
         files = {b: new_files.get(b, []) for b in m["files"]}

@@ -51,21 +51,25 @@ def prepare_batch(df: DataFrame, rules: SchemaRules) -> DataFrame:
     genuinely *appears* mid-stream: the sink's manifest schema only
     evolves when the data does.
     """
+    # cheap presence probe per declared rule column: one narrow agg of
+    # max(rlike) over the RAW payload string — ~an order of magnitude
+    # cheaper than a JSON parse, and a false positive merely adds an
+    # all-null column one epoch early
+    probes = {}
+    for target in rules.typed_columns:
+        names = [target] + [o for o, n in rules.renames.items() if n == target]
+        pat = "\"(" + "|".join(names) + ")\"\\s*:"
+        probes[target] = F.max(F.col("payload").rlike(pat)).alias(target)
+    if probes:
+        row = df.agg(*probes.values()).collect()[0]
+        present = {k for k in probes if row[k]}
+    else:
+        present = set()
     df = decode_payload(df)
-    present = {
-        r["k"]
-        for r in df.select(
-            F.explode_outer(F.map_keys(F.col("_payload_map"))).alias("k")
-        )
-        .distinct()
-        .collect()
-        if r["k"] is not None
-    }
-    renamed_present = {rules.renames.get(k, k) for k in present}
     active = SchemaRules(
         renames=rules.renames,
         typed_columns={
-            k: t for k, t in rules.typed_columns.items() if k in renamed_present
+            k: t for k, t in rules.typed_columns.items() if k in present
         },
     )
     df = active.project(df)
