@@ -42,6 +42,27 @@ CHANGELOG_DDL = (
     "lang string, content string, payload string, ts timestamp"
 )
 
+def _valid_expr():
+    """Per-record quarantine predicate (W3 analog: the reference tracks
+    per-document BulkInsertFailure, traits.rs:27-37; we validate BEFORE
+    the write so one bad row can't poison an epoch).  Built lazily —
+    Column construction needs an active SparkContext."""
+    return (
+        F.col("repo").isNotNull()
+        & F.col("path").isNotNull()
+        & F.col("seq").isNotNull()
+        & F.col("op").isin("I", "U", "D")
+    )
+
+
+def validate_batch(df: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Split a raw batch into (valid, rejects, n_rejects)."""
+    valid = _valid_expr()
+    n_bad = df.filter(~valid).count()
+    if n_bad == 0:
+        return df, df.limit(0), 0
+    return df.filter(valid), df.filter(~valid), n_bad
+
 
 def prepare_batch(df: DataFrame, rules: SchemaRules) -> DataFrame:
     """Transform raw change events into merge-ready rows.
@@ -82,7 +103,9 @@ class ReplaySummary:
     epochs_skipped: int = 0
     rows_in: int = 0
     deletes: int = 0
+    rejects: int = 0
     duration_s: float = 0.0
+    interrupted: bool = False
     interrupted_recovered: list[int] = field(default_factory=list)
 
     @property
@@ -98,18 +121,40 @@ class ReplayRunner:
         control: ControlTables | None = None,
         rules: SchemaRules | None = None,
         files_per_epoch: int = 2,
+        dry_run: bool = False,
+        quarantine: bool = False,
+        rejects_dir: str | None = None,
     ):
         self.spark = spark
         self.sink = sink
         self.control = control
         self.rules = rules if rules is not None else DEFAULT_RULES
         self.files_per_epoch = files_per_epoch
+        self.dry_run = dry_run
+        self.quarantine = quarantine
+        self.rejects_dir = rejects_dir
 
     # ------------------------------------------------------------ shared
     def apply_batch(self, df: DataFrame, epoch_id: int,
                     started_at: float | None = None) -> dict:
+        n_rejects = 0
+        if self.quarantine:
+            df, rejects, n_rejects = validate_batch(df)
+            if n_rejects and self.rejects_dir:
+                # dead-letter append (W3: per-record failure isolation)
+                rejects.withColumn("_epoch_id", F.lit(epoch_id)).write.mode(
+                    "append"
+                ).parquet(self.rejects_dir)
         batch = prepare_batch(df, self.rules)
+        if self.dry_run:
+            # W6 write-elision: trigger the compute, commit nothing
+            n = batch.count()
+            return {
+                "epoch_id": epoch_id, "rows_in": n, "dry_run": True,
+                "skipped": True, "rejects": n_rejects,
+            }
         res = self.sink.merge(batch, epoch_id)
+        res["rejects"] = n_rejects
         if self.control is not None and not res.get("skipped"):
             self.control.mark_completed(
                 epoch_id,
@@ -141,9 +186,14 @@ class ReplayRunner:
         self,
         changelog_dir: str,
         stop_after_epochs: int | None = None,
+        should_stop=None,
     ) -> ReplaySummary:
         """Chunked replay with resume.  ``stop_after_epochs`` simulates a
-        kill between epochs (resume test harness)."""
+        kill between epochs (resume test harness); ``should_stop`` is a
+        zero-arg callable checked between epochs — the graceful-shutdown
+        hook (O5 analog: the reference checks a watch channel between
+        templates/EHRs, coordinator.rs:168-175; we finish the current
+        epoch, never interrupt mid-commit)."""
         t0 = time.monotonic()
         s = ReplaySummary()
         if self.control is not None:
@@ -158,6 +208,9 @@ class ReplayRunner:
                 and s.epochs_applied >= stop_after_epochs
             ):
                 break
+            if should_stop is not None and should_stop():
+                s.interrupted = True
+                break
             started = (
                 self.control.mark_started(epoch_id)
                 if self.control is not None
@@ -167,7 +220,8 @@ class ReplayRunner:
             res = self.apply_batch(df, epoch_id, started)
             s.epochs_applied += 1
             s.rows_in += res.get("rows_in", 0)
-            s.deletes += res.get("deletes", 0)
+            s.deletes += res.get("deletes", 0) or 0
+            s.rejects += res.get("rejects", 0)
         s.duration_s = time.monotonic() - t0
         return s
 

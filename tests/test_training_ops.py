@@ -1,0 +1,149 @@
+"""Training-data pipeline operators: multimodal plumbing, simhash,
+IVF ANN — python-oracle checks (these are the non-SQL-expressible
+ops; the SQL-expressible ones are oracle-checked in the catalog)."""
+
+import hashlib
+import math
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    sample_frames,
+)
+from atlas_spark.operators.similarity import (
+    IvfIndex,
+    brute_force_topk,
+    simhash16,
+    simhash_near_dups,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_media_feature_extraction(spark, docs):
+    media = attach_media(docs.limit(50), "text", "doc_id")
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media).collect()
+    assert len(feats) == 50
+    by_id = {r["media_id"]: r for r in feats}
+    src = {r["doc_id"]: r["text"] for r in docs.limit(50).collect()}
+    for mid, row in by_id.items():
+        payload = src[mid].encode("utf-8")
+        h = hashlib.sha256(payload).digest()
+        assert row["checksum"] == h.hex()
+        assert row["width"] == 16 + h[0] % 64
+        assert row["n_bytes"] == len(payload)
+        assert 16 <= row["height"] < 80
+
+
+def test_frame_sampling(spark, docs):
+    media = attach_media(docs.limit(5), "text", "doc_id")
+    frames = sample_frames(media, every_nth=3).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in per_doc.items():
+        assert idxs == sorted(idxs)
+        assert all(i % 3 == 0 for i in idxs)
+
+
+# --------------------------------------------------------------- simhash
+
+def py_simhash16(text: str) -> int:
+    words = [w for w in text.split(" ") if w != ""]
+    votes = [0] * 16
+    for w in words:
+        h = zlib.crc32(w.encode("utf-8"))
+        for i in range(16):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(16):
+        if votes[i] >= 0:
+            out |= 1 << i
+    return out
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    rows = simhash16(docs.limit(100), "text").select("doc_id", "simhash", "text").collect()
+    for r in rows:
+        assert r["simhash"] == py_simhash16(r["text"]), r["doc_id"]
+
+
+def test_simhash_near_dups_finds_planted(spark):
+    # long doc so a one-word edit flips at most a bit or two (simhash
+    # stability grows with document length)
+    base = " ".join(f"token{i % 37} word{i % 11} filler{i % 7}" for i in range(40))
+    variant = base.replace("token5", "changed", 1)
+    rows = [
+        (1, base),
+        (2, variant),                  # one-word edit → near-dup
+        (3, "completely different words about spark engines at scale"),
+        (4, base),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    ham = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dups(df, max_hamming=3).collect()
+    }
+    assert ham.get((1, 4)) == 0     # identical
+    assert (1, 2) in ham and ham[(1, 2)] <= 3  # near-identical
+    assert all(3 not in p for p in ham)
+
+
+# ------------------------------------------------------------------ ANN
+
+def py_cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+
+def test_brute_force_topk_exact(spark, emb):
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+    got = brute_force_topk(emb, q, k=5).collect()
+    assert got[0]["vec_id"] == 3 and got[0]["cos_sim"] == pytest.approx(1.0)
+    # python oracle over the full table
+    allv = [(r["vec_id"], [float(x) for x in r["embedding"]]) for r in emb.collect()]
+    scored = sorted(((py_cos(q, v), -i) for i, v in allv), reverse=True)
+    expect = [-i for _, i in scored[:5]]
+    assert [r["vec_id"] for r in got] == expect
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    idx = IvfIndex(n_cells=8, nprobe=4)
+    idx.build(emb)
+    approx = {r["vec_id"] for r in idx.search(q, k=10).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    # probing ALL cells must equal brute force exactly
+    idx_all = IvfIndex(n_cells=8, nprobe=8)
+    idx_all.build(emb)
+    full = {r["vec_id"] for r in idx_all.search(q, k=10).collect()}
+    assert full == exact
+
+
+def test_ivf_prunes_cells(spark, emb):
+    idx = IvfIndex(n_cells=8, nprobe=2)
+    assigned = idx.build(emb)
+    n_cells_used = assigned.select("_cell").distinct().count()
+    assert n_cells_used >= 4
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
+    cand = assigned.filter(F.col("_cell").isin(idx._probe_cells(q)))
+    assert cand.count() < emb.count()
