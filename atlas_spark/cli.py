@@ -1,0 +1,161 @@
+"""CLI: replay / status / validate-config / init / compact.
+
+Reference analog: atlas's clap subcommands (``/root/reference/src/cli/
+commands/export.rs``, ``status.rs``, ``validate.rs``, ``init.rs``) with
+the same exit-code contract: 0 ok, 1 partial/failed, 2 config error,
+130 interrupted (SIGINT), 143 (SIGTERM).
+
+Run as ``python -m atlas_spark.cli <cmd>`` locally or ship the package
+with ``spark-submit --py-files atlas_spark.zip run.py`` on a cluster —
+the entry points only need a SparkSession.
+"""
+
+from __future__ import annotations
+
+import argparse
+import signal
+import sys
+
+from .config import SAMPLE_TOML, load_config
+
+
+def _build(cfg):
+    from .session import get_spark
+    from .sinks import LakehouseSink
+    from .streaming import ControlTables, ReplayRunner
+
+    spark = get_spark(
+        cfg.spark.app_name,
+        master=cfg.spark.master,
+        shuffle_partitions=cfg.spark.shuffle_partitions,
+    )
+    if cfg.sink.format == "iceberg":
+        from .sinks.iceberg import IcebergSink
+
+        sink = IcebergSink(spark, cfg.sink.table_root,
+                           n_buckets=cfg.sink.n_buckets)
+    else:
+        sink = LakehouseSink(spark, cfg.sink.table_root,
+                             n_buckets=cfg.sink.n_buckets)
+    sink.ensure()
+    control = ControlTables(cfg.sink.table_root)
+    runner = ReplayRunner(
+        spark,
+        sink,
+        control,
+        files_per_epoch=cfg.source.files_per_epoch,
+        dry_run=cfg.run.dry_run,
+        quarantine=cfg.run.quarantine,
+        rejects_dir=f"{cfg.sink.table_root}/_control/rejects",
+    )
+    return spark, sink, control, runner
+
+
+def cmd_replay(args) -> int:
+    cfg = load_config(args.config)
+    errs = cfg.validate()
+    if errs:
+        for e in errs:
+            print(f"config error: {e}", file=sys.stderr)
+        return 2
+
+    stop = {"flag": False, "code": 130}
+
+    def _handler(signum, frame):
+        stop["flag"] = True
+        stop["code"] = 130 if signum == signal.SIGINT else 143
+        print("shutdown requested — finishing current epoch", file=sys.stderr)
+
+    signal.signal(signal.SIGINT, _handler)
+    signal.signal(signal.SIGTERM, _handler)
+
+    spark, sink, control, runner = _build(cfg)
+    s = runner.run(cfg.source.changelog_dir,
+                   should_stop=lambda: stop["flag"])
+    print(
+        f"epochs applied={s.epochs_applied} skipped={s.epochs_skipped} "
+        f"rows={s.rows_in} deletes={s.deletes} rejects={s.rejects} "
+        f"rate={s.events_per_sec:.0f} ev/s"
+        + (" [interrupted]" if s.interrupted else "")
+    )
+    spark.stop()
+    if s.interrupted:
+        return stop["code"]
+    return 0
+
+
+def cmd_status(args) -> int:
+    cfg = load_config(args.config)
+    if not cfg.sink.table_root:
+        print("config error: sink.table_root required", file=sys.stderr)
+        return 2
+    spark, sink, control, _ = _build(cfg)
+    print(f"table: {cfg.sink.table_root}")
+    m = sink.manifest() if hasattr(sink, "manifest") else {}
+    print(
+        f"version={m.get('version')} last_epoch={m.get('committed_epoch_max')} "
+        f"buckets={m.get('n_buckets')} "
+        f"schema={[n for n, _ in (tuple(x) for x in m.get('schema', []))]}"
+    )
+    try:
+        wm = control.watermarks_df(spark)
+        wm.orderBy("epoch_id", "partition_id").show(50, truncate=False)
+        control.metrics_df(spark).orderBy("epoch_id").show(50, truncate=False)
+    except Exception:  # noqa: BLE001 — empty control tables
+        print("no control tables yet")
+    spark.stop()
+    return 0
+
+
+def cmd_validate(args) -> int:
+    try:
+        cfg = load_config(args.config)
+    except Exception as e:  # noqa: BLE001
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+    errs = cfg.validate()
+    if errs:
+        for e in errs:
+            print(f"config error: {e}", file=sys.stderr)
+        return 2
+    print("config OK")
+    return 0
+
+
+def cmd_init(args) -> int:
+    with open(args.output, "w") as f:
+        f.write(SAMPLE_TOML)
+    print(f"wrote {args.output}")
+    return 0
+
+
+def cmd_compact(args) -> int:
+    cfg = load_config(args.config)
+    spark, sink, _, _ = _build(cfg)
+    res = sink.compact()
+    print(f"compacted: {res}")
+    spark.stop()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="atlas_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in [
+        ("replay", cmd_replay),
+        ("status", cmd_status),
+        ("validate-config", cmd_validate),
+        ("compact", cmd_compact),
+    ]:
+        sp = sub.add_parser(name)
+        sp.add_argument("-c", "--config", required=(name != "init"))
+        sp.set_defaults(fn=fn)
+    sp = sub.add_parser("init")
+    sp.add_argument("-o", "--output", default="atlas_spark.toml")
+    sp.set_defaults(fn=cmd_init)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

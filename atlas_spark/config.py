@@ -1,0 +1,162 @@
+"""Engine configuration: TOML + env overrides + validation.
+
+Mirrors the reference's config surface (``/root/reference/src/config/
+loader.rs``, ``schema.rs:76-126`` validation, ``ATLAS_<SECTION>_<KEY>``
+env overrides) at the scale the Python engine needs — a dataclass per
+section, ranges validated like ``schema.rs:374-396``.
+"""
+
+from __future__ import annotations
+
+import os
+import tomllib
+from dataclasses import asdict, dataclass, field
+
+ENV_PREFIX = "ATLAS_SPARK"
+
+
+@dataclass
+class SourceConfig:
+    changelog_dir: str = ""
+    files_per_epoch: int = 8
+    mode: str = "incremental"  # or "full"
+
+    def validate(self) -> list[str]:
+        errs = []
+        if not (1 <= self.files_per_epoch <= 10_000):
+            errs.append("source.files_per_epoch must be in [1, 10000]")
+        if self.mode not in ("incremental", "full"):
+            errs.append("source.mode must be incremental|full")
+        return errs
+
+
+@dataclass
+class SinkConfig:
+    table_root: str = ""
+    n_buckets: int = 64
+    format: str = "lakehouse"  # or "iceberg"
+
+    def validate(self) -> list[str]:
+        errs = []
+        if not (1 <= self.n_buckets <= 100_000):
+            errs.append("sink.n_buckets must be in [1, 100000]")
+        if self.format not in ("lakehouse", "iceberg"):
+            errs.append("sink.format must be lakehouse|iceberg")
+        return errs
+
+
+@dataclass
+class SparkConfig:
+    master: str | None = None
+    shuffle_partitions: int | None = None
+    app_name: str = "atlas_spark"
+
+    def validate(self) -> list[str]:
+        if self.shuffle_partitions is not None and not (
+            1 <= self.shuffle_partitions <= 200_000
+        ):
+            return ["spark.shuffle_partitions must be in [1, 200000]"]
+        return []
+
+
+@dataclass
+class RunConfig:
+    dry_run: bool = False
+    quarantine: bool = True
+    anonymize: bool = False
+    anonymize_mode: str = "hipaa"
+    anonymize_strategy: str = "redact"
+
+    def validate(self) -> list[str]:
+        errs = []
+        if self.anonymize_mode not in ("hipaa", "gdpr"):
+            errs.append("run.anonymize_mode must be hipaa|gdpr")
+        if self.anonymize_strategy not in ("redact", "tokenize"):
+            errs.append("run.anonymize_strategy must be redact|tokenize")
+        return errs
+
+
+@dataclass
+class EngineConfig:
+    source: SourceConfig = field(default_factory=SourceConfig)
+    sink: SinkConfig = field(default_factory=SinkConfig)
+    spark: SparkConfig = field(default_factory=SparkConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def validate(self) -> list[str]:
+        errs = []
+        for section in (self.source, self.sink, self.spark, self.run):
+            errs.extend(section.validate())
+        if not self.source.changelog_dir:
+            errs.append("source.changelog_dir is required")
+        if not self.sink.table_root:
+            errs.append("sink.table_root is required")
+        return errs
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+_SECTIONS = {
+    "source": SourceConfig,
+    "sink": SinkConfig,
+    "spark": SparkConfig,
+    "run": RunConfig,
+}
+
+
+def _coerce(cls_default, raw: str):
+    if isinstance(cls_default, bool):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(cls_default, int):
+        return int(raw)
+    return raw
+
+
+def load_config(path: str | None = None,
+                env: dict[str, str] | None = None) -> EngineConfig:
+    """TOML file (optional) + ``ATLAS_SPARK_<SECTION>_<KEY>`` env
+    overrides (env wins, like the reference's loader)."""
+    env = env if env is not None else dict(os.environ)
+    data: dict = {}
+    if path:
+        with open(path, "rb") as f:
+            data = tomllib.load(f)
+    cfg = EngineConfig()
+    for name, cls in _SECTIONS.items():
+        section = getattr(cfg, name)
+        for key, val in (data.get(name) or {}).items():
+            if not hasattr(section, key):
+                raise ValueError(f"unknown config key: {name}.{key}")
+            setattr(section, key, val)
+        for key in vars(section):
+            env_key = f"{ENV_PREFIX}_{name.upper()}_{key.upper()}"
+            if env_key in env:
+                cur = getattr(section, key)
+                setattr(section, key, _coerce(cur, env[env_key]))
+    return cfg
+
+
+SAMPLE_TOML = """\
+# atlas_spark engine configuration (see atlas_spark/config.py)
+[source]
+changelog_dir = "/data/changelog"
+files_per_epoch = 8
+mode = "incremental"      # full = ignore prior checkpoints
+
+[sink]
+table_root = "/data/lake/repos"
+n_buckets = 64            # raise so one bucket is a few GB at scale
+format = "lakehouse"      # iceberg = MERGE INTO via a real catalog
+
+[spark]
+# master = "local[32]"    # defaults to local[$SPARK_GRAFT_CPUS or *]
+# shuffle_partitions = 64
+
+[run]
+dry_run = false
+quarantine = true
+anonymize = false
+anonymize_mode = "hipaa"
+anonymize_strategy = "redact"
+"""

@@ -1,0 +1,81 @@
+"""Config loading/validation + CLI exit codes (reference analogs:
+tests/config_integration_test.rs, cli/commands/*)."""
+
+import subprocess
+import sys
+import os
+
+import pytest
+
+from atlas_spark.config import EngineConfig, load_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_defaults_and_validation():
+    cfg = EngineConfig()
+    errs = cfg.validate()
+    assert "source.changelog_dir is required" in errs
+    assert "sink.table_root is required" in errs
+    cfg.source.changelog_dir = "/x"
+    cfg.sink.table_root = "/y"
+    assert cfg.validate() == []
+    cfg.sink.n_buckets = 0
+    assert any("n_buckets" in e for e in cfg.validate())
+
+
+def test_toml_load_and_env_override(tmp_path):
+    p = tmp_path / "cfg.toml"
+    p.write_text(
+        '[source]\nchangelog_dir = "/data/log"\nfiles_per_epoch = 4\n'
+        '[sink]\ntable_root = "/data/table"\nn_buckets = 32\n'
+    )
+    cfg = load_config(str(p), env={})
+    assert cfg.source.files_per_epoch == 4
+    assert cfg.sink.n_buckets == 32
+    # env wins (type-coerced)
+    cfg2 = load_config(
+        str(p),
+        env={
+            "ATLAS_SPARK_SINK_N_BUCKETS": "128",
+            "ATLAS_SPARK_RUN_DRY_RUN": "true",
+        },
+    )
+    assert cfg2.sink.n_buckets == 128
+    assert cfg2.run.dry_run is True
+
+
+def test_unknown_key_rejected(tmp_path):
+    p = tmp_path / "bad.toml"
+    p.write_text("[source]\nbogus = 1\n")
+    with pytest.raises(ValueError, match="unknown config key"):
+        load_config(str(p), env={})
+
+
+def _cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "atlas_spark.cli", *args],
+        capture_output=True, text=True, cwd=REPO,
+    )
+
+
+def test_cli_init_and_validate(tmp_path):
+    out_toml = str(tmp_path / "engine.toml")
+    r = _cli("init", "-o", out_toml)
+    assert r.returncode == 0
+    r2 = _cli("validate-config", "-c", out_toml)
+    assert r2.returncode == 0, r2.stderr
+    # break it
+    with open(out_toml, "a") as f:
+        f.write("\n[sink]\nn_buckets = -1\n")
+    # tomllib rejects duplicate sections → config error path (exit 2)
+    r3 = _cli("validate-config", "-c", out_toml)
+    assert r3.returncode == 2
+
+
+def test_cli_validate_missing_required(tmp_path):
+    p = tmp_path / "partial.toml"
+    p.write_text('[source]\nchangelog_dir = "/x"\n')
+    r = _cli("validate-config", "-c", str(p))
+    assert r.returncode == 2
+    assert "table_root" in r.stderr
