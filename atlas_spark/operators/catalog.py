@@ -382,6 +382,54 @@ def q_fingerprint(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# non-SQL-expressible ops (no DuckDB oracle → driver rows-only check;
+# each has a python-oracle pytest in tests/test_training_ops.py)
+# --------------------------------------------------------------------------
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (columnar fold over word CRC32s);
+    exact python-oracle parity tested in test_training_ops.py."""
+    from .similarity import simhash16
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash16(d, "text").select("doc_id", "simhash")
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF-style ANN: probe 4 of 16 coarse cells, exact cosine inside —
+    the partition-pruned scale path for similarity search."""
+    from .similarity import IvfIndex
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = [
+        float(v)
+        for v in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    idx = IvfIndex(n_cells=16, nprobe=4)
+    idx.build(e)
+    return idx.search(q, k=20)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload + typed metadata →
+    mapInPandas feature extraction (stub codec, real batching)."""
+    from .multimodal import attach_media, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(attach_media(d, "text", "doc_id"))
+
+
+def q_anonymize_report(spark, sf_dir):
+    """A9 dry-run detection report over the documents corpus."""
+    from ..anonymize import Anonymizer
+
+    d = _t(spark, sf_dir, "documents")
+    return Anonymizer(categories=["EMAIL", "URL", "DATE", "ZIP"]).report(
+        d.select(F.col("text")), "text"
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -410,6 +458,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_score": q_quality_score,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
+    # rows-only (python-oracle pytests; no SQL equivalent)
+    "q_simhash": q_simhash,
+    "q_ivf_ann": q_ivf_ann,
+    "q_media_features": q_media_features,
+    "q_anonymize_report": q_anonymize_report,
 }
 
 _SHINGLE_SQL = (
