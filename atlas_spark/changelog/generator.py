@@ -94,22 +94,23 @@ def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
     seq = np.arange(n, dtype=np.int64)
 
     # op assignment: first touch of a key is I; later touches U, a slice D.
-    first_touch = np.zeros(n, dtype=bool)
-    seen: set[int] = set()
-    kl = key_id.tolist()
-    for i, k in enumerate(kl):
-        if k not in seen:
-            first_touch[i] = True
-            seen.add(k)
+    first_touch = (~pd.Series(key_id).duplicated()).to_numpy()
     op = np.where(first_touch, "I", "U").astype(object)
     revisit = ~first_touch
     del_mask = revisit & (rng.random(n) < spec.delete_frac)
     op[del_mask] = "D"
 
     lang = LANGS[key_id % len(LANGS)]
-    repo = pd.Series(repo_idx).map(lambda i: f"repo_{i:03d}").to_numpy()
-    path = pd.Series(key_id).map(
-        lambda k: f"src/m{(k // 31) % 97:02d}/f_{k % 10007}.txt"
+    # vectorized name building (a 16M-row corpus can't afford per-row
+    # Python format calls)
+    repo = ("repo_" + pd.Series(repo_idx).astype(str).str.zfill(3)).to_numpy()
+    kid = pd.Series(key_id)
+    path = (
+        "src/m"
+        + ((kid // 31) % 97).astype(str).str.zfill(2)
+        + "/f_"
+        + (kid % 10007).astype(str)
+        + ".txt"
     ).to_numpy()
 
     commit = _hex40(rng, n)
@@ -117,18 +118,20 @@ def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
     # content: deterministic pseudo-code, unique per (key, seq)
     nonce = rng.integers(0, 1 << 30, size=n)
     nlines = rng.integers(spec.content_words[0], spec.content_words[1], size=n)
-    base = pd.Series(
+    fillers = np.array(
         [
-            f"// {r}/{p} seq={s} nonce={x}\n"
-            for r, p, s, x in zip(repo, path, seq, nonce)
+            "".join(f"let v{j} = compute({j});\n" for j in range(m + 3))
+            for m in range(17)
         ]
     )
-    filler = pd.Series(nlines).map(
-        lambda m: "".join(f"let v{j} = compute({j});\n" for j in range(int(m) % 17 + 3))
-    )
-    content = (base + filler).to_numpy()
+    content = (
+        "// " + pd.Series(repo) + "/" + pd.Series(path)
+        + " seq=" + pd.Series(seq).astype(str)
+        + " nonce=" + pd.Series(nonce).astype(str) + "\n"
+        + pd.Series(fillers[nlines % 17])
+    ).to_numpy()
 
-    # payload json with schema evolution
+    # payload json with schema evolution (vectorized piecewise build)
     author = rng.integers(0, 500, size=n)
     if spec.schema_evolution:
         add_at = int(n * spec.evo_add_at)
@@ -138,83 +141,73 @@ def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
         add_at = widen_at = rename_at = n + 1
     small_lines = rng.integers(1, 2_000, size=n)
     big_lines = rng.integers(3_000_000_000, 9_000_000_000, size=n)  # > int32
-    payload = []
-    for i in range(n):
-        akey = "committer" if i >= rename_at else "author"
-        parts = [f'"{akey}": "u{author[i]}"']
-        if i >= add_at:
-            lv = big_lines[i] if i >= widen_at else small_lines[i]
-            parts.append(f'"lines": {lv}')
-        payload.append("{" + ", ".join(parts) + "}")
+    idx = np.arange(n)
+    akey = np.where(idx >= rename_at, "committer", "author")
+    lines_val = np.where(idx >= widen_at, big_lines, small_lines)
+    lines_part = np.where(
+        idx >= add_at,
+        ', "lines": ' + pd.Series(lines_val).astype(str),
+        "",
+    )
+    payload = (
+        '{"' + pd.Series(akey) + '": "u' + pd.Series(author).astype(str)
+        + '"' + pd.Series(lines_part) + "}"
+    ).tolist()
 
     ts = _T0 + (seq * 1_000_000 + rng.integers(0, 900_000, size=n)).astype(
         "timedelta64[us]"
     )
 
+    # --- scenario: out-of-order deletes (array-level planting) ----------
+    # For up to `out_of_order_deletes` D rows: retarget the NEXT row to
+    # the same key as an Update (it keeps its own larger seq), then swap
+    # the two ROW POSITIONS keeping each row's seq — the U (seq=s+1)
+    # arrives first, the D (seq=s) arrives late.  A late delete must
+    # lose to the newer upsert (north-star scenario).
+    perm = np.arange(n)
+    if spec.out_of_order_deletes > 0:
+        repo = repo.copy()
+        path = path.copy()
+        planted = 0
+        used: set[int] = set()
+        for pos in np.flatnonzero(op == "D"):
+            if planted >= spec.out_of_order_deletes:
+                break
+            nxt = pos + 1
+            if nxt >= n or pos in used or nxt in used:
+                continue
+            repo[nxt] = repo[pos]
+            path[nxt] = path[pos]
+            op[nxt] = "U"
+            perm[pos], perm[nxt] = nxt, pos
+            used.update((pos, nxt))
+            planted += 1
+
     df = pd.DataFrame(
         {
-            "seq": seq,
-            "op": op.astype(str),
-            "repo": repo,
-            "path": path,
-            "commit": commit,
-            "lang": lang,
-            "content": content,
-            "payload": payload,
-            "ts": ts,
+            "seq": seq[perm],
+            "op": op[perm].astype(str),
+            "repo": repo[perm],
+            "path": path[perm],
+            "commit": np.asarray(commit, dtype=object)[perm],
+            "lang": lang[perm],
+            "content": content[perm],
+            "payload": np.asarray(payload, dtype=object)[perm],
+            "ts": ts[perm],
         }
     )
 
-    # --- scenario: out-of-order deletes ---------------------------------
-    # Pick keys with a D followed (in seq) by a U; swap their seq values so
-    # the delete ARRIVES later but carries the OLDER seq.  Arrival order is
-    # row order, so instead we swap rows' positions keeping seq assigned to
-    # the op: emit U(seq=k+1) early, D(seq=k) late.
-    planted = 0
-    if spec.out_of_order_deletes > 0:
-        d_positions = np.flatnonzero(df["op"].to_numpy() == "D")
-        for pos in d_positions:
-            if planted >= spec.out_of_order_deletes:
-                break
-            if pos + 1 >= n:
-                continue
-            # craft: the delete at `pos` swaps seq with a later update we
-            # fabricate on the same key at position pos+? — simplest: swap
-            # the entire rows of `pos` and the next same-key U if adjacent
-            # enough; else synthesize by swapping seq with row pos+1 and
-            # retargeting row pos+1 to the same key as an update.
-            k_repo = df.at[pos, "repo"]
-            k_path = df.at[pos, "path"]
-            nxt = pos + 1
-            # retarget next row to same key as an Update; it keeps its
-            # own (larger) seq
-            df.at[nxt, "repo"] = k_repo
-            df.at[nxt, "path"] = k_path
-            df.at[nxt, "op"] = "U"
-            # swap ROW POSITIONS, keeping each row's seq: the U
-            # (seq=s+1) now ARRIVES first, the D (seq=s) arrives late —
-            # a late delete that must lose to the newer upsert.
-            row_d = df.iloc[pos].copy()
-            row_u = df.iloc[nxt].copy()
-            df.iloc[pos] = row_u
-            df.iloc[nxt] = row_d
-            planted += 1
-
-    # --- scenario: duplicate delivery -----------------------------------
+    # --- scenario: duplicate delivery (vectorized reorder) --------------
     if spec.duplicate_frac > 0:
         m = max(1, int(n * spec.duplicate_frac))
-        dup_rows = df.iloc[rng.choice(n, size=m, replace=False)].copy()
+        dup_idx = rng.choice(n, size=m, replace=False)
         insert_at = rng.integers(0, len(df), size=m)
-        pieces = []
-        prev = 0
-        order = np.argsort(insert_at)
-        for j in order:
-            at = int(insert_at[j])
-            pieces.append(df.iloc[prev:at])
-            pieces.append(dup_rows.iloc[[j]])
-            prev = at
-        pieces.append(df.iloc[prev:])
-        df = pd.concat(pieces, ignore_index=True)
+        # arrival keys: originals at i, duplicates just after insert_at
+        arrival = np.concatenate(
+            [np.arange(len(df), dtype=np.float64), insert_at + 0.5]
+        )
+        df = pd.concat([df, df.iloc[dup_idx]], ignore_index=True)
+        df = df.iloc[np.argsort(arrival, kind="stable")]
 
     return df.reset_index(drop=True)
 

@@ -72,22 +72,29 @@ def run_replay(spark, log_dir: str, n_buckets: int = 64,
 
     root = tempfile.mkdtemp(prefix="atlas_bench_sink_")
     try:
-        # Steady-state measurement: a cold local JVM spends ~50s on
-        # class-loading + C2 JIT of the whole pipeline (measured: cold
-        # 57s vs warm 5.4s for the identical job).  A 10^10-event
+        # Steady-state measurement: a cold local JVM spends tens of
+        # seconds on class-loading + tiered C2 JIT of the pipeline
+        # (measured: cold 57s vs warm 3s for the identical job), and
+        # full compilation needs several complete runs.  A 10^10-event
         # production stream runs thousands of epochs, so steady state
-        # is the honest number — run the full replay twice UNTIMED to
-        # reach it, then time the third run.
-        for _ in range(2):
+        # is the honest number — warm up with UNTIMED replays until the
+        # run-to-run improvement falls under 15% (max 5), then time.
+        prev = None
+        for _ in range(5):
             warm_root = tempfile.mkdtemp(prefix="atlas_bench_warm_")
             try:
                 wsink = LakehouseSink(spark, warm_root, n_buckets=n_buckets)
                 wsink.ensure()
+                t0 = time.monotonic()
                 ReplayRunner(
                     spark, wsink, files_per_epoch=files_per_epoch
                 ).run(log_dir)
+                dt = time.monotonic() - t0
             finally:
                 shutil.rmtree(warm_root, ignore_errors=True)
+            if prev is not None and dt > prev * 0.85:
+                break
+            prev = dt
 
         sink = LakehouseSink(spark, root, n_buckets=n_buckets)
         sink.ensure()
