@@ -124,6 +124,7 @@ class ReplayRunner:
         dry_run: bool = False,
         quarantine: bool = False,
         rejects_dir: str | None = None,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.sink = sink
@@ -133,6 +134,10 @@ class ReplayRunner:
         self.dry_run = dry_run
         self.quarantine = quarantine
         self.rejects_dir = rejects_dir
+        # copy-on-write sinks accumulate one file per (epoch, touched
+        # bucket); periodic compaction caps read amplification on long
+        # streams (no reference analog — its sink is a DB)
+        self.compact_every = compact_every
 
     # ------------------------------------------------------------ shared
     def apply_batch(self, df: DataFrame, epoch_id: int,
@@ -222,6 +227,13 @@ class ReplayRunner:
             s.rows_in += res.get("rows_in", 0)
             s.deletes += res.get("deletes", 0) or 0
             s.rejects += res.get("rejects", 0)
+            if (
+                self.compact_every
+                and not self.dry_run
+                and s.epochs_applied % self.compact_every == 0
+                and hasattr(self.sink, "compact")
+            ):
+                self.sink.compact()
         s.duration_s = time.monotonic() - t0
         return s
 
