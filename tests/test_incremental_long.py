@@ -14,25 +14,25 @@ from tests.test_replay_core import check_against_oracle
 
 def test_eight_epoch_stream_with_compaction(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=4000, n_repos=10, paths_per_repo=20,
+        n_events=2000, n_repos=10, paths_per_repo=20,
         delete_frac=0.10, duplicate_frac=0.02, out_of_order_deletes=10,
     )
     changelog = generate_changelog(spec)
     log_dir = str(tmp_path / "log")
-    write_changelog(changelog, log_dir, n_files=16)
+    write_changelog(changelog, log_dir, n_files=12)
 
     root = str(tmp_path / "t")
     sink = LakehouseSink(spark, root, n_buckets=8)
     sink.ensure()
     runner = ReplayRunner(
-        spark, sink, ControlTables(root), files_per_epoch=2, compact_every=4
+        spark, sink, ControlTables(root), files_per_epoch=2, compact_every=3
     )
     s = runner.run(log_dir)
-    assert s.epochs_applied == 8
+    assert s.epochs_applied == 6
     check_against_oracle(spark, sink, changelog)
 
     # compaction bounds file growth: without it, each of 8 epochs would
-    # add ~1 file per touched bucket; the last compaction at epoch 8
+    # add ~1 file per touched bucket; the last compaction at epoch 6
     # leaves ≤ (1 compacted + epochs-since) files per bucket
     m = sink.manifest()
     worst = max(len(fl) for fl in m["files"].values())
@@ -46,7 +46,7 @@ def test_eight_epoch_stream_with_compaction(spark, tmp_path):
 def test_incremental_new_data_after_convergence(spark, tmp_path):
     """Daily-sync shape: converge, then new events arrive; only new
     epochs apply, watermarks advance monotonically."""
-    spec = ChangelogSpec(n_events=2000, n_repos=8, paths_per_repo=15)
+    spec = ChangelogSpec(n_events=1200, n_repos=8, paths_per_repo=15)
     changelog = generate_changelog(spec)
     half = len(changelog) // 2
     log_dir = str(tmp_path / "log")

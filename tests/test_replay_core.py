@@ -45,16 +45,16 @@ def check_against_oracle(spark, sink, changelog):
 
 
 def test_base_replay_matches_oracle(spark, tmp_path):
-    spec = ChangelogSpec(n_events=4000, n_repos=20, paths_per_repo=40)
+    spec = ChangelogSpec(n_events=2000, n_repos=20, paths_per_repo=40)
     changelog, sink, control, runner, summary = run_replay(spark, tmp_path, spec)
     assert summary.epochs_applied == 4
-    assert summary.rows_in == 4000
+    assert summary.rows_in == 2000
     check_against_oracle(spark, sink, changelog)
 
 
 def test_out_of_order_deletes_survive(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=3000, n_repos=10, paths_per_repo=30,
+        n_events=1500, n_repos=10, paths_per_repo=30,
         delete_frac=0.15, out_of_order_deletes=20,
     )
     changelog, sink, *_ = run_replay(spark, tmp_path, spec)
@@ -75,7 +75,7 @@ def test_out_of_order_deletes_survive(spark, tmp_path):
 
 def test_duplicate_delivery_idempotent(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=2000, n_repos=10, paths_per_repo=30, duplicate_frac=0.05
+        n_events=1200, n_repos=10, paths_per_repo=30, duplicate_frac=0.05
     )
     changelog, sink, *_ = run_replay(spark, tmp_path, spec)
     check_against_oracle(spark, sink, changelog)
@@ -83,7 +83,7 @@ def test_duplicate_delivery_idempotent(spark, tmp_path):
 
 def test_hot_key_skew_replay(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=4000, n_repos=20, paths_per_repo=40, hot_repo_frac=0.30
+        n_events=2000, n_repos=20, paths_per_repo=40, hot_repo_frac=0.30
     )
     changelog, sink, *_ = run_replay(spark, tmp_path, spec)
     assert (changelog["repo"] == "repo_000").mean() > 0.25

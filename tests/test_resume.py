@@ -10,7 +10,7 @@ from tests.test_replay_core import check_against_oracle
 
 def test_kill_and_resume_converges(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=3000, n_repos=12, paths_per_repo=30,
+        n_events=1600, n_repos=12, paths_per_repo=30,
         delete_frac=0.10, out_of_order_deletes=10, duplicate_frac=0.02,
     )
     changelog = generate_changelog(spec)

@@ -21,7 +21,7 @@ from tests.test_replay_core import check_against_oracle
 
 def test_schema_evolution_replay(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=4000, n_repos=15, paths_per_repo=30,
+        n_events=2000, n_repos=15, paths_per_repo=30,
         schema_evolution=True, delete_frac=0.05,
     )
     changelog = generate_changelog(spec)
@@ -64,7 +64,7 @@ def test_column_appears_only_when_data_has_it(spark, tmp_path):
     """Early epochs (payload without `lines`) must not add the column;
     the manifest schema evolves at the epoch where data first carries it."""
     spec = ChangelogSpec(
-        n_events=2000, n_repos=8, paths_per_repo=20, schema_evolution=True
+        n_events=1200, n_repos=8, paths_per_repo=20, schema_evolution=True
     )
     changelog = generate_changelog(spec)
     log_dir = str(tmp_path / "changelog")

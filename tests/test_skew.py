@@ -8,7 +8,7 @@ from atlas_spark.plans.skew import add_salt, hot_keys, salted_group_max
 
 
 def test_hot_key_detection(spark):
-    spec = ChangelogSpec(n_events=5000, n_repos=20, paths_per_repo=40,
+    spec = ChangelogSpec(n_events=3000, n_repos=20, paths_per_repo=40,
                          hot_repo_frac=0.35)
     df = spark.createDataFrame(generate_changelog(spec))
     hot = hot_keys(df, "repo", threshold_frac=0.20, sample_frac=0.5)
@@ -17,7 +17,7 @@ def test_hot_key_detection(spark):
 
 
 def test_salted_group_max_equals_plain(spark):
-    spec = ChangelogSpec(n_events=3000, n_repos=10, paths_per_repo=20,
+    spec = ChangelogSpec(n_events=1500, n_repos=10, paths_per_repo=20,
                          hot_repo_frac=0.30)
     df = spark.createDataFrame(generate_changelog(spec))
     salted = {
@@ -44,7 +44,7 @@ def test_full_key_bucketing_spreads_hot_repo(spark):
     """The structural defense: bucket = hash(repo, path) spreads a
     30%-hot repo across (nearly) all buckets, so no merge task inherits
     the skew."""
-    spec = ChangelogSpec(n_events=5000, n_repos=20, paths_per_repo=40,
+    spec = ChangelogSpec(n_events=3000, n_repos=20, paths_per_repo=40,
                          hot_repo_frac=0.30)
     df = spark.createDataFrame(generate_changelog(spec))
     n_buckets = 16

@@ -10,7 +10,7 @@ from tests.test_replay_core import check_against_oracle
 
 def test_streaming_replay_matches_oracle(spark, tmp_path):
     spec = ChangelogSpec(
-        n_events=3000, n_repos=10, paths_per_repo=25,
+        n_events=1500, n_repos=10, paths_per_repo=25,
         delete_frac=0.08, out_of_order_deletes=8,
     )
     changelog = generate_changelog(spec)
@@ -31,7 +31,7 @@ def test_streaming_replay_matches_oracle(spark, tmp_path):
 
 
 def test_streaming_restart_is_noop_then_picks_up_new_files(spark, tmp_path):
-    spec = ChangelogSpec(n_events=1200, n_repos=6, paths_per_repo=15)
+    spec = ChangelogSpec(n_events=800, n_repos=6, paths_per_repo=15)
     changelog = generate_changelog(spec)
     log_dir = str(tmp_path / "changelog")
     # first half of the stream
