@@ -122,7 +122,12 @@ class LakehouseSink(Sink):
         with open(self._current) as f:
             version = int(f.read().strip())
         with open(self._manifest_path(version)) as f:
-            return json.load(f)
+            m = json.load(f)
+        # the table's bucket count is a storage property: a sink object
+        # constructed with a different n_buckets must follow the
+        # manifest, or every bucket mapping (pruning, writes) breaks
+        self.n_buckets = m["n_buckets"]
+        return m
 
     def _write_manifest(self, m: dict) -> None:
         path = self._manifest_path(m["version"])

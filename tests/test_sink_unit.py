@@ -145,3 +145,16 @@ def test_bucket_pruning_untouched_files_not_rewritten(spark, tmp_path):
     assert len(changed) == 1  # exactly the bucket of (r1, p1)
     row = [r for r in sink.read().collect() if r["path"] == "p1"][0]
     assert row["commit"] == "cX"
+
+
+def test_n_buckets_pinned_to_manifest(spark, tmp_path):
+    """A sink reopened with a different n_buckets must follow the
+    table's manifest — bucket mapping is a storage property."""
+    s1 = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=8)
+    s1.ensure()
+    s1.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    s2 = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=32)  # wrong
+    s2.merge(_df(spark, [[2, "U", "r", "a", "c2", "py", "v2"]]), 1)
+    assert s2.n_buckets == 8
+    rows = s2.read().collect()
+    assert len(rows) == 1 and rows[0]["commit"] == "c2"
