@@ -38,7 +38,9 @@ Same job, same input ({events:,} change events, 64 parquet files,
 1% duplicate delivery), identical code — run at two parallelism levels
 (`local[8]` vs `local[32]`; cores stand in for executor count per
 BASELINE.md, no real cluster in this sandbox).  Steady-state timing:
-two untimed warmup replays per JVM, then the timed run.
+untimed warmup replays per JVM until run-to-run improvement < 15%
+(max 5), then the timed run — a 10^10-event stream runs thousands of
+epochs, so steady state is the honest number.
 
 | parallelism | wall (s) | events/s | final rows |
 |---|---|---|---|
