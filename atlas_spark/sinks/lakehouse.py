@@ -325,7 +325,10 @@ class LakehouseSink(Sink):
         # n_buckets/partitions dirs per task).  partitionBy splits them
         # into bucket dirs without moving a row.
         (
-            out.write.partitionBy("_bucket")
+            # sort within tasks by key: parquet min/max column stats
+            # then prune row groups on (repo, path) point/range reads
+            out.sortWithinPartitions("_bucket", "repo", "path")
+            .write.partitionBy("_bucket")
             .mode("overwrite")
             .parquet(abs_dir)
         )

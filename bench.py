@@ -23,7 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_EVENTS = int(os.environ.get("ATLAS_BENCH_EVENTS", "1000000"))
+BENCH_EVENTS = int(os.environ.get("ATLAS_BENCH_EVENTS", "4000000"))
 BENCH_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "bench_data")
 
