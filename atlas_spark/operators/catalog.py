@@ -285,9 +285,11 @@ def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard similarity for LSH candidate pairs:
     |A∩B| / |A∪B| over distinct word 3-shingles."""
     d = _t(spark, sf_dir, "documents")
+    # cache: the shingle relation feeds both join sides and the LSH
+    # pair generation — without it the (expensive) shingling runs 3×
     sh = d.select(
         "doc_id", F.array_distinct(_shingles()).alias("sh")
-    )
+    ).cache()
     pairs = q_lsh_candidate_pairs(spark, sf_dir)
     j = (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")

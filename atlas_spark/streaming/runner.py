@@ -203,6 +203,8 @@ class ReplayRunner:
         s = ReplaySummary()
         if self.control is not None:
             s.interrupted_recovered = self.control.mark_interrupted_epochs()
+            if hasattr(self.sink, "manifest"):
+                self.control.backfill_from_manifest(self.sink.manifest())
         last = self.sink.last_committed_epoch()
         for epoch_id, files in enumerate(self.plan_epochs(changelog_dir)):
             if epoch_id <= last:

@@ -159,6 +159,24 @@ class ControlTables:
                 out.append(data["epoch_id"][0])
         return out
 
+    def backfill_from_manifest(self, manifest: dict) -> list[int]:
+        """Recovery for the commit-order gap: data commits BEFORE
+        control writes (SURVEY §7.3 #1), so a crash in between leaves a
+        committed epoch with no watermark/metrics row.  On resume,
+        synthesize a `recovered` row from the manifest's cumulative
+        per-bucket watermarks for any fenced epoch missing its file."""
+        last = manifest.get("committed_epoch_max", -1)
+        out = []
+        for epoch_id in range(last + 1):
+            if os.path.exists(self._wm_path(epoch_id)):
+                continue
+            wm = {b: int(v) for b, v in manifest.get("watermarks", {}).items()}
+            self.mark_completed(epoch_id, wm, {}, time.time(),
+                                status="recovered")
+            self.record_metrics(epoch_id, 0, 0, 0, 0, 0, status="recovered")
+            out.append(epoch_id)
+        return out
+
     # ------------------------------------------------------------ reads
     def watermarks_df(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.wm_dir)

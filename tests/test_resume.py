@@ -89,3 +89,36 @@ def test_interrupted_epoch_marked_on_resume(spark, tmp_path):
     }
     assert statuses[7] == "interrupted"
     assert statuses[0] == "completed"
+
+
+def test_crash_between_commit_and_control_write_backfills(spark, tmp_path):
+    """Data commit precedes control writes; a crash in between leaves a
+    fenced epoch with no watermark row — resume must backfill it as
+    `recovered` (SURVEY §7.3 hard part #1)."""
+    import os
+
+    spec = ChangelogSpec(n_events=400, n_repos=4, paths_per_repo=8)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=4)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=4)
+    sink.ensure()
+    control = ControlTables(root)
+    runner = ReplayRunner(spark, sink, control, files_per_epoch=2)
+    runner.run(log_dir)
+    # simulate the crash: epoch 1's control file never got written
+    os.remove(control._wm_path(1))
+    os.remove(control._metric_path(1))
+
+    control2 = ControlTables(root)
+    runner2 = ReplayRunner(spark, sink, control2, files_per_epoch=2)
+    runner2.run(log_dir)
+    wm = control2.watermarks_df(spark)
+    statuses = {
+        r["epoch_id"]: r["status"]
+        for r in wm.select("epoch_id", "status").distinct().collect()
+    }
+    assert statuses[1] == "recovered"
+    assert statuses[0] == "completed"
