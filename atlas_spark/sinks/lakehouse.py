@@ -270,26 +270,36 @@ class LakehouseSink(Sink):
             existing = self._read_files(
                 [p for fl in old_files.values() for p in fl], fields
             ).withColumn("_bucket", self._bucket_expr())
-            bkeys = batchw.select(*KEY_COLS)
-            # broadcast the batch keys: existing side is never shuffled
-            hit = existing.join(F.broadcast(bkeys), KEY_COLS, "left_semi")
-            miss = existing.join(F.broadcast(bkeys), KEY_COLS, "left_anti")
-            # resolve LWW guard: incoming wins ties (seq >= semantics)
-            resolved = (
-                hit.withColumn("_incoming", F.lit(0))
-                .unionByName(batchw.withColumn("_incoming", F.lit(1)))
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy(*KEY_COLS).orderBy(
-                            F.col("seq").desc(), F.col("_incoming").desc()
-                        )
-                    ),
-                )
-                .filter(F.col("_rn") == 1)
-                .drop("_rn", "_incoming")
+            guard_w = Window.partitionBy(*KEY_COLS).orderBy(
+                F.col("seq").desc(), F.col("_incoming").desc()
             )
-            out = miss.unionByName(resolved)
+            if n_batch <= self.broadcast_key_limit:
+                # normal micro-batch: broadcast the batch keys — the
+                # (huge) existing side is scanned but NEVER shuffled;
+                # only ≤2×|batch| rows enter the guard window
+                bkeys = batchw.select(*KEY_COLS)
+                hit = existing.join(F.broadcast(bkeys), KEY_COLS, "left_semi")
+                miss = existing.join(F.broadcast(bkeys), KEY_COLS, "left_anti")
+                resolved = (
+                    hit.withColumn("_incoming", F.lit(0))
+                    .unionByName(batchw.withColumn("_incoming", F.lit(1)))
+                    .withColumn("_rn", F.row_number().over(guard_w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_incoming")
+                )
+                out = miss.unionByName(resolved)
+            else:
+                # bulk-load shape (batch keys too large to broadcast):
+                # one shuffle of existing∪batch on the key — AQE handles
+                # residual skew; correctness identical (incoming wins
+                # ties via _incoming in the guard window)
+                out = (
+                    existing.withColumn("_incoming", F.lit(0))
+                    .unionByName(batchw.withColumn("_incoming", F.lit(1)))
+                    .withColumn("_rn", F.row_number().over(guard_w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_incoming")
+                )
         else:
             out = batchw
 

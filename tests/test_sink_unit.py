@@ -158,3 +158,23 @@ def test_n_buckets_pinned_to_manifest(spark, tmp_path):
     assert s2.n_buckets == 8
     rows = s2.read().collect()
     assert len(rows) == 1 and rows[0]["commit"] == "c2"
+
+
+def test_bulk_load_fallback_no_broadcast(spark, tmp_path):
+    """Batches whose key count exceeds broadcast_key_limit take the
+    shuffle path — identical semantics (guards, tombstones)."""
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4,
+                         broadcast_key_limit=2)
+    sink.ensure()
+    rows0 = [[i, "I", f"r{i % 3}", f"p{i}", f"c{i}", "py", f"v{i}"] for i in range(10)]
+    sink.merge(_df(spark, rows0), 0)
+    # big second batch (> limit) with an older update and a delete
+    rows1 = [[i + 100, "U", f"r{i % 3}", f"p{i}", f"cn{i}", "py", f"w{i}"] for i in range(8)]
+    rows1.append([3, "U", "r0", "p0", "cOLD", "py", "old"])   # older → rejected
+    rows1.append([200, "D", "r1", "p1", None, None, None])    # delete wins
+    sink.merge(_df(spark, rows1), 1)
+    got = {r["path"]: r["commit"] for r in sink.read().collect()}
+    assert got["p0"] == "cn0"          # newer batch row won over both
+    assert "p1" not in got             # deleted
+    assert got["p9"] == "c9"           # untouched key passed through
+    assert got["p5"] == "cn5"
