@@ -39,6 +39,13 @@ def _build(cfg):
                              n_buckets=cfg.sink.n_buckets)
     sink.ensure()
     control = ControlTables(cfg.sink.table_root)
+    transform = None
+    if cfg.run.anonymize:
+        from .anonymize import Anonymizer
+
+        anon = Anonymizer(mode=cfg.run.anonymize_mode,
+                          strategy=cfg.run.anonymize_strategy)
+        transform = lambda df: anon.anonymize(df, "content")  # noqa: E731
     runner = ReplayRunner(
         spark,
         sink,
@@ -47,6 +54,7 @@ def _build(cfg):
         dry_run=cfg.run.dry_run,
         quarantine=cfg.run.quarantine,
         rejects_dir=f"{cfg.sink.table_root}/_control/rejects",
+        transform=transform,
     )
     return spark, sink, control, runner
 

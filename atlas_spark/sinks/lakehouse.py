@@ -176,7 +176,8 @@ class LakehouseSink(Sink):
     def _unified_schema(self, current: list, batch_df: DataFrame) -> list:
         known = {n: t for n, t in (tuple(x) for x in current)}
         order = [tuple(x) for x in current]
-        base_names = {n for n, _ in BASE_FIELDS}
+        # `op` is consumed into is_deleted before storage, never stored
+        base_names = {n for n, _ in BASE_FIELDS} | {"op"}
         for f in batch_df.schema.fields:
             if f.name in base_names or f.name.startswith("_"):
                 continue

@@ -125,6 +125,7 @@ class ReplayRunner:
         quarantine: bool = False,
         rejects_dir: str | None = None,
         compact_every: int | None = None,
+        transform=None,
     ):
         self.spark = spark
         self.sink = sink
@@ -138,6 +139,10 @@ class ReplayRunner:
         # bucket); periodic compaction caps read amplification on long
         # streams (no reference analog — its sink is a DB)
         self.compact_every = compact_every
+        # optional per-batch DataFrame→DataFrame hook applied before the
+        # merge — the anonymize step plugs in here (atlas engine.rs
+        # transform_and_anonymize analog, batch.rs:191-271)
+        self.transform = transform
 
     # ------------------------------------------------------------ shared
     def apply_batch(self, df: DataFrame, epoch_id: int,
@@ -151,6 +156,8 @@ class ReplayRunner:
                     "append"
                 ).parquet(self.rejects_dir)
         batch = prepare_batch(df, self.rules)
+        if self.transform is not None:
+            batch = self.transform(batch)
         if self.dry_run:
             # W6 write-elision: trigger the compute, commit nothing
             n = batch.count()
