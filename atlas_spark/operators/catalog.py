@@ -383,6 +383,57 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_daily_counts(spark, sf_dir):
+    """§2.6 date functions: per-day event counts (time_committed
+    bucketing analog — watermark cadence reporting)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_base64_key(spark, sf_dir):
+    """§2.6 base64 (ehrbase.rs:114-116 basic-auth encode analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.concat_ws(":", "lang", "source"), "utf-8")).alias("b64"),
+    )
+
+
+def q_format_key(spark, sf_dir):
+    """§2.6 concat/format: the '{template}_{ehr}' watermark id
+    (watermark.rs:92-94) recast as '{lang}_{source}'."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.concat_ws("_", "lang", "source").alias("wm_id")
+    )
+
+
+def q_percentile_nchars(spark, sf_dir):
+    """A9 timing-percentile analog: exact interpolated percentiles of
+    doc length per lang (Spark `percentile` == DuckDB quantile_cont)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 1).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 1).alias("p90"),
+    )
+
+
+def q_topn_per_group(spark, sf_dir):
+    """§2.6 window rank: top-3 events by value per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible ops (no DuckDB oracle → driver rows-only check;
 # each has a python-oracle pytest in tests/test_training_ops.py)
@@ -460,6 +511,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_score": q_quality_score,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
+    "q_daily_counts": q_daily_counts,
+    "q_base64_key": q_base64_key,
+    "q_format_key": q_format_key,
+    "q_percentile_nchars": q_percentile_nchars,
+    "q_topn_per_group": q_topn_per_group,
     # rows-only (python-oracle pytests; no SQL equivalent)
     "q_simhash": q_simhash,
     "q_ivf_ann": q_ivf_ann,
@@ -615,5 +671,28 @@ ORACLES: dict[str, str] = {
                md5(array_to_string(list_sort(list_distinct(
                    string_split(text, ' '))), ' ')) AS vocab_fp
         FROM documents
+    """,
+    "q_daily_counts": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "q_base64_key": """
+        SELECT doc_id, to_base64((lang || ':' || source)::BLOB) AS b64
+        FROM documents
+    """,
+    "q_format_key": """
+        SELECT doc_id, lang || '_' || source AS wm_id FROM documents
+    """,
+    "q_percentile_nchars": """
+        SELECT lang,
+               round(quantile_cont(n_chars, 0.5), 1) AS p50,
+               round(quantile_cont(n_chars, 0.9), 1) AS p90
+        FROM documents GROUP BY lang
+    """,
+    "q_topn_per_group": """
+        SELECT event_type, rnk, event_id, value FROM (
+          SELECT event_type, event_id, value, row_number() OVER (
+            PARTITION BY event_type ORDER BY value DESC, event_id ASC) rnk
+          FROM events) WHERE rnk <= 3
     """,
 }

@@ -1,0 +1,61 @@
+"""CLI end-to-end: init → replay → status → replay again (fenced) →
+compact, via subprocesses with real exit codes."""
+
+import json
+import os
+import subprocess
+import sys
+
+from atlas_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "atlas_spark.cli", *args],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+
+
+def test_cli_replay_status_compact(tmp_path):
+    log_dir = str(tmp_path / "log")
+    write_changelog(
+        generate_changelog(
+            ChangelogSpec(n_events=300, n_repos=4, paths_per_repo=6)
+        ),
+        log_dir, n_files=2,
+    )
+    table = str(tmp_path / "table")
+    cfg = tmp_path / "engine.toml"
+    cfg.write_text(
+        f'[source]\nchangelog_dir = "{log_dir}"\nfiles_per_epoch = 1\n'
+        f'[sink]\ntable_root = "{table}"\nn_buckets = 4\n'
+        f'[spark]\nmaster = "local[2]"\nshuffle_partitions = 2\n'
+    )
+
+    r = _cli("replay", "-c", str(cfg))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "epochs applied=2" in r.stdout
+
+    r2 = _cli("status", "-c", str(cfg))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "last_epoch=1" in r2.stdout
+
+    # second replay: everything fenced
+    r3 = _cli("replay", "-c", str(cfg))
+    assert r3.returncode == 0
+    assert "epochs applied=0 skipped=2" in r3.stdout
+
+    r4 = _cli("compact", "-c", str(cfg))
+    assert r4.returncode == 0
+    assert "compacted" in r4.stdout
+
+    # manifest sane after all of it
+    with open(os.path.join(table, "_manifests", "CURRENT")) as f:
+        v = int(f.read())
+    with open(
+        os.path.join(table, "_manifests", f"manifest.{v:08d}.json")
+    ) as f:
+        m = json.load(f)
+    assert m["committed_epoch_max"] == 1
