@@ -194,6 +194,54 @@ class ReplayRunner:
         k = self.files_per_epoch
         return [files[i : i + k] for i in range(0, len(files), k)]
 
+    def _epoch_plan_path(self) -> str | None:
+        root = getattr(self.sink, "root", None)
+        if root is None:
+            return None
+        d = os.path.join(root, "_control")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "epoch_plan.jsonl")
+
+    def _check_epoch_plan(self, epochs: list[list[str]], last: int) -> None:
+        """Epoch fencing is by ORDINAL id, so committed epochs must map
+        to the same file sets on resume.  A changed files_per_epoch (or
+        files inserted before committed ones) would silently skip or
+        re-slice data — refuse loudly instead."""
+        import json as _json
+
+        path = self._epoch_plan_path()
+        if path is None:
+            return
+        recorded: dict[int, list[str]] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for line in f:
+                    rec = _json.loads(line)
+                    recorded[rec["epoch_id"]] = rec["files"]
+        for e in range(last + 1):
+            if e in recorded:
+                planned = [os.path.basename(p) for p in epochs[e]] if e < len(epochs) else []
+                if planned != recorded[e]:
+                    raise ValueError(
+                        f"epoch plan mismatch for committed epoch {e}: "
+                        f"recorded {recorded[e]} vs planned {planned} — "
+                        "files_per_epoch changed or files were inserted "
+                        "before committed data; resume with the original "
+                        "plan or start a fresh table"
+                    )
+
+    def _record_epoch_plan(self, epoch_id: int, files: list[str]) -> None:
+        import json as _json
+
+        path = self._epoch_plan_path()
+        if path is None:
+            return
+        with open(path, "a") as f:
+            f.write(_json.dumps({
+                "epoch_id": epoch_id,
+                "files": [os.path.basename(p) for p in files],
+            }) + "\n")
+
     def run(
         self,
         changelog_dir: str,
@@ -213,7 +261,9 @@ class ReplayRunner:
             if hasattr(self.sink, "manifest"):
                 self.control.backfill_from_manifest(self.sink.manifest())
         last = self.sink.last_committed_epoch()
-        for epoch_id, files in enumerate(self.plan_epochs(changelog_dir)):
+        epochs = self.plan_epochs(changelog_dir)
+        self._check_epoch_plan(epochs, last)
+        for epoch_id, files in enumerate(epochs):
             if epoch_id <= last:
                 s.epochs_skipped += 1
                 continue
@@ -232,6 +282,8 @@ class ReplayRunner:
             )
             df = self.spark.read.schema(CHANGELOG_DDL).parquet(*files)
             res = self.apply_batch(df, epoch_id, started)
+            if not res.get("skipped"):
+                self._record_epoch_plan(epoch_id, files)
             s.epochs_applied += 1
             s.rows_in += res.get("rows_in", 0)
             s.deletes += res.get("deletes", 0) or 0

@@ -122,3 +122,31 @@ def test_crash_between_commit_and_control_write_backfills(spark, tmp_path):
     }
     assert statuses[1] == "recovered"
     assert statuses[0] == "completed"
+
+
+def test_resume_with_changed_epoch_plan_refuses(spark, tmp_path):
+    """Fencing is by ordinal epoch id: resuming with a different
+    files_per_epoch would silently skip unapplied files — must raise."""
+    import pytest
+
+    spec = ChangelogSpec(n_events=400, n_repos=4, paths_per_repo=8)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=8)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=4)
+    sink.ensure()
+    ReplayRunner(spark, sink, files_per_epoch=2).run(
+        log_dir, stop_after_epochs=2
+    )
+
+    bad = ReplayRunner(spark, sink, files_per_epoch=4)  # changed!
+    with pytest.raises(ValueError, match="epoch plan mismatch"):
+        bad.run(log_dir)
+
+    # original plan resumes fine; late-appended files extend the plan
+    ok = ReplayRunner(spark, sink, files_per_epoch=2)
+    s = ok.run(log_dir)
+    assert s.epochs_applied == 2 and s.epochs_skipped == 2
+    check_against_oracle(spark, sink, changelog)
