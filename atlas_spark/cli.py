@@ -137,6 +137,27 @@ def cmd_init(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Post-export verification (O7 analog, but checksum-strict):
+    compare the live table against an expected parquet snapshot
+    carrying (repo, path, content_sha256)."""
+    cfg = load_config(args.config)
+    spark, sink, _, _ = _build(cfg)
+    from .verification import verify_state
+
+    expected = spark.read.parquet(args.expected)
+    report = verify_state(sink.read(), expected)
+    print(
+        f"expected={report.expected_rows} actual={report.actual_rows} "
+        f"missing={report.missing} unexpected={report.unexpected} "
+        f"hash_mismatch={report.hash_mismatch} "
+        f"success_rate={report.success_rate:.4f} "
+        f"{'PASS' if report.passed else 'FAIL'}"
+    )
+    spark.stop()
+    return 0 if report.passed else 1
+
+
 def cmd_compact(args) -> int:
     cfg = load_config(args.config)
     spark, sink, _, _ = _build(cfg)
@@ -161,6 +182,11 @@ def main(argv=None) -> int:
     sp = sub.add_parser("init")
     sp.add_argument("-o", "--output", default="atlas_spark.toml")
     sp.set_defaults(fn=cmd_init)
+    sp = sub.add_parser("verify")
+    sp.add_argument("-c", "--config", required=True)
+    sp.add_argument("-e", "--expected", required=True,
+                    help="parquet with (repo, path, content_sha256)")
+    sp.set_defaults(fn=cmd_verify)
     args = p.parse_args(argv)
     return args.fn(args)
 

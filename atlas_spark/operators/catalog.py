@@ -383,6 +383,27 @@ def q_fingerprint(spark, sf_dir):
     )
 
 
+def q_cdc_fold(spark, sf_dir):
+    """The engine's MERGE semantics as one SQL-expressible query:
+    last-writer-wins per key (user_id) with delete folding — a final
+    'error' event acts as the tombstone (op='D' analog).  This is the
+    oracle-checkable twin of LakehouseSink.merge's window+guard."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("event_type") != "error")  # tombstoned keys drop out
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+
+
 def q_daily_counts(spark, sf_dir):
     """§2.6 date functions: per-day event counts (time_committed
     bucketing analog — watermark cadence reporting)."""
@@ -511,6 +532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quality_score": q_quality_score,
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
+    "q_cdc_fold": q_cdc_fold,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
     "q_format_key": q_format_key,
@@ -671,6 +693,15 @@ ORACLES: dict[str, str] = {
                md5(array_to_string(list_sort(list_distinct(
                    string_split(text, ' '))), ' ')) AS vocab_fp
         FROM documents
+    """,
+    "q_cdc_fold": """
+        SELECT user_id, event_id AS last_event_id,
+               event_type AS last_type
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+          FROM events)
+        WHERE rn = 1 AND event_type != 'error'
     """,
     "q_daily_counts": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n

@@ -312,6 +312,10 @@ class ReplayRunner:
         sink-commit and checkpoint-commit (the classic foreachBatch
         exactly-once pattern).
         """
+        if self.control is not None:
+            self.control.mark_interrupted_epochs()
+            if hasattr(self.sink, "manifest"):
+                self.control.backfill_from_manifest(self.sink.manifest())
         stream = (
             self.spark.readStream.schema(CHANGELOG_DDL)
             .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -59,3 +59,32 @@ def test_cli_replay_status_compact(tmp_path):
     ) as f:
         m = json.load(f)
     assert m["committed_epoch_max"] == 1
+
+
+def test_cli_verify(tmp_path):
+    from atlas_spark.changelog import expected_state_pdf
+
+    changelog = generate_changelog(
+        ChangelogSpec(n_events=200, n_repos=3, paths_per_repo=5)
+    )
+    log_dir = str(tmp_path / "log")
+    write_changelog(changelog, log_dir, n_files=2)
+    table = str(tmp_path / "table")
+    cfg = tmp_path / "engine.toml"
+    cfg.write_text(
+        f'[source]\nchangelog_dir = "{log_dir}"\nfiles_per_epoch = 2\n'
+        f'[sink]\ntable_root = "{table}"\nn_buckets = 4\n'
+        f'[spark]\nmaster = "local[2]"\nshuffle_partitions = 2\n'
+    )
+    assert _cli("replay", "-c", str(cfg)).returncode == 0
+
+    expected = expected_state_pdf(changelog)
+    exp_path = str(tmp_path / "expected.parquet")
+    expected[["repo", "path", "content_sha256"]].to_parquet(exp_path)
+    r = _cli("verify", "-c", str(cfg), "-e", exp_path)
+    assert r.returncode == 0 and "PASS" in r.stdout, r.stdout + r.stderr[-500:]
+
+    # tamper: drop a row from expected → verify fails
+    expected.iloc[1:][["repo", "path", "content_sha256"]].to_parquet(exp_path)
+    r2 = _cli("verify", "-c", str(cfg), "-e", exp_path)
+    assert r2.returncode == 1 and "FAIL" in r2.stdout
