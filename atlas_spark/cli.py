@@ -36,7 +36,8 @@ def _build(cfg):
                            n_buckets=cfg.sink.n_buckets)
     else:
         sink = LakehouseSink(spark, cfg.sink.table_root,
-                             n_buckets=cfg.sink.n_buckets)
+                             n_buckets=cfg.sink.n_buckets,
+                             mode=cfg.sink.merge_mode)
     sink.ensure()
     control = ControlTables(cfg.sink.table_root)
     transform = None

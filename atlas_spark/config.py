@@ -35,6 +35,7 @@ class SinkConfig:
     table_root: str = ""
     n_buckets: int = 64
     format: str = "lakehouse"  # or "iceberg"
+    merge_mode: str = "cow"    # cow = copy-on-write, mor = merge-on-read
 
     def validate(self) -> list[str]:
         errs = []
@@ -42,6 +43,8 @@ class SinkConfig:
             errs.append("sink.n_buckets must be in [1, 100000]")
         if self.format not in ("lakehouse", "iceberg"):
             errs.append("sink.format must be lakehouse|iceberg")
+        if self.merge_mode not in ("cow", "mor"):
+            errs.append("sink.merge_mode must be cow|mor")
         return errs
 
 
@@ -148,6 +151,7 @@ mode = "incremental"      # full = ignore prior checkpoints
 table_root = "/data/lake/repos"
 n_buckets = 64            # raise so one bucket is a few GB at scale
 format = "lakehouse"      # iceberg = MERGE INTO via a real catalog
+merge_mode = "cow"        # mor = append-only merges, resolve at read
 
 [spark]
 # master = "local[32]"    # defaults to local[$SPARK_GRAFT_CPUS or *]

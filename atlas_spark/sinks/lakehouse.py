@@ -90,11 +90,27 @@ class LakehouseSink(Sink):
         root: str,
         n_buckets: int = 16,
         broadcast_key_limit: int = 2_000_000,
+        mode: str = "cow",
     ):
+        """``mode``:
+
+        * ``cow`` (copy-on-write): every merge rewrites the touched
+          buckets — reads are plain scans.  Right for read-heavy /
+          batch-replay workloads.
+        * ``mor`` (merge-on-read): merges APPEND only the batch's LWW
+          winners — O(|batch|) write path, no existing-side scan or
+          join at all; reads resolve the newest version per key with
+          the same seq-guard window.  Right for steady high-rate
+          streams; ``compact()`` periodically folds versions back to
+          one file per bucket (Iceberg's write.merge.mode analog).
+        Semantics are identical — the same oracle replays pass in both.
+        """
+        assert mode in ("cow", "mor")
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
         self.broadcast_key_limit = broadcast_key_limit
+        self.mode = mode
         self._manifest_dir = os.path.join(root, "_manifests")
         self._current = os.path.join(self._manifest_dir, "CURRENT")
 
@@ -108,6 +124,7 @@ class LakehouseSink(Sink):
                 "epoch_id": -1,
                 "committed_epoch_max": -1,
                 "n_buckets": self.n_buckets,
+                "mode": self.mode,
                 "schema": BASE_FIELDS,
                 "files": {},
                 "watermarks": {},  # bucket -> cumulative max seq applied
@@ -123,10 +140,11 @@ class LakehouseSink(Sink):
             version = int(f.read().strip())
         with open(self._manifest_path(version)) as f:
             m = json.load(f)
-        # the table's bucket count is a storage property: a sink object
-        # constructed with a different n_buckets must follow the
-        # manifest, or every bucket mapping (pruning, writes) breaks
+        # bucket count and merge mode are storage properties: a sink
+        # object constructed differently must follow the manifest, or
+        # bucket mapping / version resolution breaks
         self.n_buckets = m["n_buckets"]
+        self.mode = m.get("mode", "cow")
         return m
 
     def _write_manifest(self, m: dict) -> None:
@@ -265,7 +283,7 @@ class LakehouseSink(Sink):
 
         touched = [r["_bucket"] for r in bucket_stats]
         old_files = {str(b): m["files"].get(str(b), []) for b in touched}
-        have_existing = any(old_files.values())
+        have_existing = any(old_files.values()) and self.mode == "cow"
 
         if have_existing:
             existing = self._read_files(
@@ -356,9 +374,15 @@ class LakehouseSink(Sink):
             ]
         return new_files, {}
 
-    def _commit(self, m, new_files, wm, fields, epoch_id, rows_in, deletes):
+    def _commit(self, m, new_files, wm, fields, epoch_id, rows_in, deletes,
+                replace_files: bool | None = None):
+        replace = self.mode == "cow" if replace_files is None else replace_files
         files = dict(m["files"])
-        files.update(new_files)
+        if replace:
+            files.update(new_files)
+        else:  # merge-on-read: new version files APPEND per bucket
+            for b, fl in new_files.items():
+                files[b] = list(files.get(b, [])) + fl
         watermarks = dict(m["watermarks"])
         for b, s in wm.items():
             watermarks[b] = max(int(watermarks.get(b, -1)), s)
@@ -367,6 +391,7 @@ class LakehouseSink(Sink):
             "epoch_id": epoch_id,
             "committed_epoch_max": max(m["committed_epoch_max"], epoch_id),
             "n_buckets": m["n_buckets"],
+            "mode": m.get("mode", self.mode),
             "schema": fields,
             "files": files,
             "watermarks": watermarks,
@@ -391,20 +416,35 @@ class LakehouseSink(Sink):
         df = self.spark.read.schema(schema).parquet(
             *[os.path.join(self.root, p) for p in all_files]
         )
+        if m.get("mode", "cow") == "mor":
+            # resolve: newest version per key wins (same guard order as
+            # the merge window; WindowGroupLimit keeps it map-side-lean)
+            w = Window.partitionBy(*KEY_COLS).orderBy(
+                F.col("seq").desc(), F.col("commit").asc_nulls_first()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
         if not include_tombstones:
             df = df.filter(~F.col("is_deleted"))
         return df
 
-    def compact(self, epoch_id: int | None = None) -> dict:
-        """Drop tombstones and rewrite buckets (small-file compaction).
+    def compact(self, epoch_id: int | None = None,
+                drop_tombstones: bool = False) -> dict:
+        """Fold versions (MoR) / rewrite buckets to one file each.
 
-        Run at end of replay / periodically; reference has no analog
-        (its sink is a DB) but copy-on-write lakes need it.
+        ``drop_tombstones=False`` (the default, safe mid-stream): a
+        tombstone must survive compaction because a late, SMALLER-seq
+        upsert still has to lose to it.  Pass True only when the
+        changelog is fully consumed (end of replay) — the reference's
+        analog is a DB DELETE, which has no such window.
         """
         m = self.manifest()
         eid = epoch_id if epoch_id is not None else m["committed_epoch_max"]
         live = (
-            self.read(include_tombstones=False)
+            self.read(include_tombstones=not drop_tombstones)
             # numPartitions == n_buckets ⇒ partition id == bucket id:
             # exactly one file per bucket after the write
             .repartition(self.n_buckets, F.col("repo"), F.col("path"))

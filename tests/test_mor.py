@@ -1,0 +1,96 @@
+"""Merge-on-read mode: identical semantics to copy-on-write (same
+oracle), O(batch) write path (merges never read existing data), and
+correct version-resolution at read + compaction."""
+
+from atlas_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
+from atlas_spark.sinks import LakehouseSink
+from atlas_spark.streaming import ControlTables, ReplayRunner
+
+from tests.test_replay_core import check_against_oracle
+from tests.test_sink_unit import _df
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path):
+    spec = ChangelogSpec(
+        n_events=1600, n_repos=10, paths_per_repo=25,
+        delete_frac=0.10, out_of_order_deletes=10, duplicate_frac=0.02,
+        schema_evolution=True,
+    )
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "log")
+    write_changelog(changelog, log_dir, n_files=8)
+
+    root = str(tmp_path / "t")
+    sink = LakehouseSink(spark, root, n_buckets=8, mode="mor")
+    sink.ensure()
+    runner = ReplayRunner(spark, sink, ControlTables(root), files_per_epoch=2)
+    runner.run(log_dir)
+    check_against_oracle(spark, sink, changelog)
+
+    # mid-stream compaction folds versions, keeps tombstones, state same
+    sink.compact()
+    check_against_oracle(spark, sink, changelog)
+    m = sink.manifest()
+    assert max(len(fl) for fl in m["files"].values()) == 1
+
+    # end-of-replay compaction drops tombstones, state still same
+    sink.compact(drop_tombstones=True)
+    check_against_oracle(spark, sink, changelog)
+    assert sink.read(include_tombstones=True).count() == sink.read().count()
+
+
+def test_mor_merge_never_reads_existing(spark, tmp_path):
+    """In MoR the merge appends version files; prior files are
+    untouched AND unread (no existing-side scan)."""
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    sink.ensure()
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    files_v1 = dict(sink.manifest()["files"])
+    sink.merge(_df(spark, [[2, "U", "r", "a", "c2", "py", "v2"]]), 1)
+    files_v2 = dict(sink.manifest()["files"])
+    # old file still listed (append, not rewrite)
+    for b, fl in files_v1.items():
+        assert set(fl) <= set(files_v2.get(b, []))
+    rows = sink.read().collect()
+    assert len(rows) == 1 and rows[0]["commit"] == "c2"
+
+
+def test_mor_guard_semantics(spark, tmp_path):
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    sink.ensure()
+    sink.merge(_df(spark, [[5, "U", "r", "a", "c5", "py", "v5"]]), 0)
+    sink.merge(_df(spark, [[4, "U", "r", "a", "c4", "py", "v4"]]), 1)  # older
+    assert sink.read().collect()[0]["commit"] == "c5"
+    sink.merge(_df(spark, [[9, "D", "r", "a", None, None, None]]), 2)
+    assert sink.read().count() == 0
+    sink.merge(_df(spark, [[8, "U", "r", "a", "c8", "py", "v8"]]), 3)  # late
+    assert sink.read().count() == 0          # tombstone still wins
+    sink.merge(_df(spark, [[10, "U", "r", "a", "cA", "py", "vA"]]), 4)
+    assert sink.read().collect()[0]["commit"] == "cA"
+
+
+def test_mor_mode_pinned_to_manifest(spark, tmp_path):
+    s1 = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    s1.ensure()
+    s1.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    s2 = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4)  # default cow
+    s2.merge(_df(spark, [[2, "U", "r", "a", "c2", "py", "v2"]]), 1)
+    assert s2.mode == "mor"
+    assert s2.read().collect()[0]["commit"] == "c2"
+
+
+def test_mor_resume(spark, tmp_path):
+    spec = ChangelogSpec(n_events=800, n_repos=6, paths_per_repo=12,
+                         delete_frac=0.08)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "log")
+    write_changelog(changelog, log_dir, n_files=4)
+    root = str(tmp_path / "t")
+    sink = LakehouseSink(spark, root, n_buckets=4, mode="mor")
+    sink.ensure()
+    ReplayRunner(spark, sink, files_per_epoch=2).run(
+        log_dir, stop_after_epochs=1
+    )
+    sink2 = LakehouseSink(spark, root, n_buckets=4)
+    ReplayRunner(spark, sink2, files_per_epoch=2).run(log_dir)
+    check_against_oracle(spark, sink2, changelog)
