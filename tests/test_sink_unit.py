@@ -88,7 +88,9 @@ def test_compaction_drops_tombstones_keeps_state(spark, tmp_path):
     sink.merge(_df(spark, [[3, "D", "r", "a", None, None, None]]), 1)
     assert sink.read(include_tombstones=True).count() == 2
     before = {r["path"]: r["commit"] for r in sink.read().collect()}
-    sink.compact()
+    sink.compact()  # mid-stream default: tombstones survive
+    assert sink.read(include_tombstones=True).count() == 2
+    sink.compact(drop_tombstones=True)  # end-of-replay
     assert sink.read(include_tombstones=True).count() == 1
     after = {r["path"]: r["commit"] for r in sink.read().collect()}
     assert before == after == {"b": "c2"}
