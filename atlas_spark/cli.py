@@ -79,6 +79,18 @@ def cmd_replay(args) -> int:
     signal.signal(signal.SIGTERM, _handler)
 
     spark, sink, control, runner = _build(cfg)
+    if cfg.source.mode == "full" and sink.last_committed_epoch() >= 0:
+        # full replay = from-scratch rebuild; refusing to silently wipe
+        # or double-apply an existing table (coordinator.rs:454-458
+        # analog, but explicit where the reference trusts the operator)
+        print(
+            "config error: source.mode=full but the table already has "
+            "committed epochs — point full replay at a fresh "
+            "sink.table_root (or use incremental mode to resume)",
+            file=sys.stderr,
+        )
+        spark.stop()
+        return 2
     s = runner.run(cfg.source.changelog_dir,
                    should_stop=lambda: stop["flag"])
     print(

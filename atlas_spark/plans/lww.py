@@ -16,6 +16,12 @@ out-of-order delivery we make it explicit:
 
 All expressions are built-in (JVM, whole-stage codegen); no Python in
 the hot path.
+
+ASSUMPTION: ``seq`` is a total order over events (a binlog offset /
+commit sequence) — two DIFFERENT events never share a seq.  Duplicate
+delivery re-sends the identical event (same seq, same bytes), which
+the deterministic tiebreak absorbs.  A source emitting conflicting
+events at one seq has no well-defined LWW answer in any engine.
 """
 
 from __future__ import annotations

@@ -138,6 +138,25 @@ def main() -> None:
         spark.stop()
         return
 
+    # merge-on-read variant (JVM already warm): steady-stream shape,
+    # 8 epochs — the append-only write path
+    from atlas_spark.sinks import LakehouseSink
+    from atlas_spark.streaming import ReplayRunner
+
+    mor_sec = mor_eps = None
+    for _ in range(2):  # first run JIT-warms the MoR-specific plans
+        mor_root = tempfile.mkdtemp(prefix="atlas_bench_mor_")
+        try:
+            msink = LakehouseSink(spark, mor_root, n_buckets=64, mode="mor")
+            msink.ensure()
+            t0 = time.monotonic()
+            ms = ReplayRunner(spark, msink, files_per_epoch=8).run(log_dir)
+            dt = time.monotonic() - t0
+            mor_sec = round(dt, 3)
+            mor_eps = round(ms.rows_in / dt, 1)
+        finally:
+            shutil.rmtree(mor_root, ignore_errors=True)
+
     from atlas_spark.operators import QUERIES
 
     queries: dict[str, float] = {"cdc_replay": replay["replay_sec"]}
@@ -159,6 +178,8 @@ def main() -> None:
                 "replay_events": replay["events"],
                 "replay_events_per_sec": replay["events_per_sec"],
                 "replay_final_rows": replay["final_rows"],
+                "mor_replay_sec": mor_sec,
+                "mor_events_per_sec": mor_eps,
                 "cpus": cpus,
             }
         )
