@@ -235,6 +235,13 @@ class LakehouseSink(Sink):
         w_cnt = Window.partitionBy(*KEY_COLS)
         batchw = (
             batch_df.withColumn("_grp_cnt", F.count("*").over(w_cnt))
+            # distinct versions per key: rows − versions = true duplicate
+            # deliveries (same key AND seq twice); versions − 1 = rows
+            # superseded by newer in-batch events.  Same shuffle as the
+            # LWW window — no extra pass.
+            .withColumn(
+                "_nver", F.size(F.collect_set("seq").over(w_cnt))
+            )
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
@@ -251,9 +258,11 @@ class LakehouseSink(Sink):
             )
             .drop("op")
         )
-        batchw = self._align(batchw, [tuple(x) for x in fields] + [("_grp_cnt", "bigint")]).withColumn(
-            "_bucket", self._bucket_expr()
-        )
+        batchw = self._align(
+            batchw,
+            [tuple(x) for x in fields]
+            + [("_grp_cnt", "bigint"), ("_nver", "bigint")],
+        ).withColumn("_bucket", self._bucket_expr())
         # cache, not checkpoint: the stats agg below populates it as a
         # side effect (no dedicated materialization job), and the write
         # + broadcast joins reuse it
@@ -267,9 +276,11 @@ class LakehouseSink(Sink):
             F.count("*").alias("cnt"),
             F.sum(F.col("is_deleted").cast("long")).alias("dels"),
             F.sum("_grp_cnt").alias("raw"),
+            F.sum("_nver").alias("nver"),
         ).collect()
         rows_in = int(sum(r["raw"] for r in bucket_stats))
-        batchw = batchw.drop("_grp_cnt")
+        n_versions = int(sum(r["nver"] for r in bucket_stats))
+        batchw = batchw.drop("_grp_cnt", "_nver")
         n_batch = sum(r["cnt"] for r in bucket_stats)
         n_deletes = sum(r["dels"] for r in bucket_stats)
         if n_batch == 0:
@@ -336,7 +347,10 @@ class LakehouseSink(Sink):
         metrics.update(
             rows_in=rows_in,
             upserts=n_batch - n_deletes,
-            duplicates_skipped=rows_in - n_batch,
+            # true re-deliveries (same key+seq seen twice); rows merely
+            # superseded by newer in-batch events are the remainder
+            duplicates_skipped=rows_in - n_versions,
+            superseded_in_batch=n_versions - n_batch,
             bucket_watermarks=wm,
             rows_per_bucket=rows_per_bucket,
             duration_ms=int((time.monotonic() - t0) * 1000),
