@@ -13,11 +13,23 @@ from atlas_spark.sinks import LakehouseSink
 from atlas_spark.streaming import ReplayRunner
 from atlas_spark.changelog import write_changelog
 
-# events: (key_id 0..5, op, seq assigned by permutation)
+# events: (key_id 0..5, op, payload shape) — payload shapes fuzz the
+# schema-evolution path: key renames, column adds, int→bigint widening
 _event = st.tuples(
     st.integers(min_value=0, max_value=5),      # key
     st.sampled_from(["I", "U", "D"]),           # op
+    st.sampled_from([0, 1, 2, 3, 4]),           # payload variant
 )
+
+def _payload(pv: int, k: int, seq: int) -> str:
+    small, big = seq + 1, 3_000_000_000 + seq
+    return [
+        "{}",
+        f'{{"author": "u{k}"}}',
+        f'{{"committer": "u{k}"}}',                     # post-rename shape
+        f'{{"author": "u{k}", "lines": {small}}}',      # int lines
+        f'{{"committer": "u{k}", "lines": {big}}}',     # widened lines
+    ][pv]
 
 
 @st.composite
@@ -27,8 +39,9 @@ def changelogs(draw):
     # arbitrary arrival order of seqs 0..n-1 (out-of-order delivery)
     seq_perm = draw(st.permutations(range(n)))
     rows = []
-    for i, (key, op) in enumerate(events):
+    for i, (key, op, pv) in enumerate(events):
         seq = seq_perm[i]
+        payload = _payload(pv, key, seq)
         rows.append(
             {
                 "seq": seq,
@@ -38,7 +51,7 @@ def changelogs(draw):
                 "commit": f"{seq:040d}",
                 "lang": "py",
                 "content": f"content-{key}-{seq}",
-                "payload": '{"author": "u1"}',
+                "payload": payload,
                 "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=seq),
             }
         )
@@ -63,22 +76,28 @@ def test_replay_equals_oracle(spark, tmp_path_factory, changelog, files):
     ReplayRunner(spark, sink, files_per_epoch=2).run(log_dir)
 
     expected = expected_state_pdf(changelog)
+    table = sink.read()
+    cols = ["repo", "path", "commit", "seq", "content_sha256"]
+    # evolved columns appear only if any payload carried them
+    evolved = [c for c in ("lines", "committer") if c in table.columns]
     actual = (
-        sink.read()
-        .select("repo", "path", "commit", "seq", "content_sha256")
+        table.select(*cols, *evolved)
         .toPandas()
         .sort_values(["repo", "path"])
         .reset_index(drop=True)
     )
     exp = (
-        expected[["repo", "path", "commit", "seq", "content_sha256"]]
+        expected[cols + evolved]
         .sort_values(["repo", "path"])
         .reset_index(drop=True)
         if len(expected)
-        else pd.DataFrame(columns=["repo", "path", "commit", "seq", "content_sha256"])
+        else pd.DataFrame(columns=cols + evolved)
     )
     assert len(actual) == len(exp), (actual, exp)
     if len(exp):
+        if "lines" in evolved:
+            actual["lines"] = actual["lines"].astype("Int64")
+            exp["lines"] = exp["lines"].astype("Int64")
         pd.testing.assert_frame_equal(actual, exp, check_dtype=False)
 
 
