@@ -299,6 +299,23 @@ class ReplayRunner:
         return s
 
     # -------------------------------------------------------- streaming
+    def kafka_stream(self, bootstrap_servers: str, topic: str):
+        """Production source scaffold: a Kafka changelog topic whose
+        JSON values carry the change-event schema.  Same downstream
+        pipeline as the file stream.  Requires the
+        spark-sql-kafka package on the cluster (not shipped in this
+        sandbox — no network; untestable here, shape kept explicit)."""
+        raw = (
+            self.spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        return raw.select(
+            F.from_json(F.col("value").cast("string"), CHANGELOG_DDL).alias("e")
+        ).select("e.*")
+
     def run_streaming(
         self,
         changelog_dir: str,

@@ -88,3 +88,25 @@ def test_cli_verify(tmp_path):
     expected.iloc[1:][["repo", "path", "content_sha256"]].to_parquet(exp_path)
     r2 = _cli("verify", "-c", str(cfg), "-e", exp_path)
     assert r2.returncode == 1 and "FAIL" in r2.stdout
+
+
+def test_cli_full_mode_refuses_existing_table(tmp_path):
+    log_dir = str(tmp_path / "log")
+    write_changelog(
+        generate_changelog(ChangelogSpec(n_events=100, n_repos=2, paths_per_repo=4)),
+        log_dir, n_files=1,
+    )
+    table = str(tmp_path / "table")
+    cfg = tmp_path / "engine.toml"
+    base = (
+        f'[source]\nchangelog_dir = "{log_dir}"\nfiles_per_epoch = 1\n'
+        f'{{mode}}'
+        f'[sink]\ntable_root = "{table}"\nn_buckets = 2\n'
+        f'[spark]\nmaster = "local[2]"\nshuffle_partitions = 2\n'
+    )
+    cfg.write_text(base.format(mode=""))
+    assert _cli("replay", "-c", str(cfg)).returncode == 0
+    cfg.write_text(base.format(mode='mode = "full"\n'))
+    r = _cli("replay", "-c", str(cfg))
+    assert r.returncode == 2
+    assert "fresh" in r.stderr
