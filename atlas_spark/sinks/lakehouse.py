@@ -135,9 +135,12 @@ class LakehouseSink(Sink):
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self._manifest_dir, f"manifest.{version:08d}.json")
 
-    def manifest(self) -> dict:
-        with open(self._current) as f:
-            version = int(f.read().strip())
+    def manifest(self, version: int | None = None) -> dict:
+        """Current manifest, or a historical one (time travel: every
+        version's manifest is retained, like Iceberg snapshots)."""
+        if version is None:
+            with open(self._current) as f:
+                version = int(f.read().strip())
         with open(self._manifest_path(version)) as f:
             m = json.load(f)
         # bucket count and merge mode are storage properties: a sink
@@ -421,8 +424,11 @@ class LakehouseSink(Sink):
         }
 
     # -------------------------------------------------------------- read
-    def read(self, include_tombstones: bool = False) -> DataFrame:
-        m = self.manifest()
+    def read(self, include_tombstones: bool = False,
+             version: int | None = None) -> DataFrame:
+        """Live table state; pass ``version`` to time-travel to any
+        committed snapshot (data files are immutable, manifests kept)."""
+        m = self.manifest(version)
         all_files = [p for fl in m["files"].values() for p in fl]
         schema = _ddl([tuple(x) for x in m["schema"]])
         if not all_files:

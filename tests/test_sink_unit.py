@@ -180,3 +180,15 @@ def test_bulk_load_fallback_no_broadcast(spark, tmp_path):
     assert "p1" not in got             # deleted
     assert got["p9"] == "c9"           # untouched key passed through
     assert got["p5"] == "cn5"
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Every manifest version stays readable — snapshot isolation for
+    audits/debug (Iceberg time-travel analog)."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    v1 = sink.manifest()["version"]
+    sink.merge(_df(spark, [[2, "U", "r", "a", "c2", "py", "v2"]]), 1)
+    assert sink.read().collect()[0]["commit"] == "c2"
+    old = sink.read(version=v1).collect()
+    assert len(old) == 1 and old[0]["commit"] == "c1"
