@@ -330,6 +330,29 @@ def q_embedding_topk(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: vectors within cosine ≥ 0.5 of
+    each other (bounded to vec_id < 200 so the SQL oracle's pair join
+    stays small; at scale the IVF cell id bounds the join instead)."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").cast("array<double>").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").cast("array<double>").alias("eb"))
+    dot = F.expr(
+        "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+    )
+    na = F.expr("sqrt(aggregate(ea, 0.0D, (acc, v) -> acc + v * v))")
+    nb = F.expr("sqrt(aggregate(eb, 0.0D, (acc, v) -> acc + v * v))")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(dot / (na * nb), 3))
+        .filter(F.col("cos_sim") >= 0.3)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
     d = _t(spark, sf_dir, "documents")
@@ -528,6 +551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_topk": q_embedding_topk,
+    "q_embedding_neardup": q_embedding_neardup,
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
     "q_langid": q_langid,
@@ -665,6 +689,18 @@ ORACLES: dict[str, str] = {
           FROM embeddings WHERE vec_id != 0
         )
         SELECT vec_id, cos_sim FROM s WHERE cos_sim >= 0.2
+    """,
+    "q_embedding_neardup": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+                   WHERE vec_id < 200)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(a.v, b.v) /
+                     (sqrt(list_inner_product(a.v, a.v)) *
+                      sqrt(list_inner_product(b.v, b.v))), 3) AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_inner_product(a.v, b.v) /
+                    (sqrt(list_inner_product(a.v, a.v)) *
+                     sqrt(list_inner_product(b.v, b.v))), 3) >= 0.3
     """,
     "q_token_count": """
         SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
