@@ -102,6 +102,49 @@ def extract_features(df: DataFrame, codec=FakeImageCodec) -> DataFrame:
     return df.mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, payload binary, width int, height int"
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 32,
+                 codec=FakeImageCodec) -> DataFrame:
+    """Resize shape: decode → scale to fit ``max_side`` → re-encode.
+
+    The stub 'resize' deterministically truncates the payload in
+    proportion to the scale factor and emits the new dimensions — the
+    Spark-side contract (mapInPandas batching, binary in/out, metadata
+    columns) is exactly what a Pillow-backed codec drops into.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, payloads = [], [], []
+            for b in pdf["payload"]:
+                raw = bytes(b) if b is not None else b""
+                meta = codec.decode(raw)
+                scale = min(
+                    1.0, max_side / max(meta["width"], meta["height"], 1)
+                )
+                w = max(1, int(meta["width"] * scale))
+                h = max(1, int(meta["height"] * scale))
+                keep = max(1, int(len(raw) * scale)) if raw else 0
+                ws.append(w)
+                hs.append(h)
+                payloads.append(raw[:keep])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return df.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling shape for video payloads: one row per sampled
     frame index (the decode itself is the stubbed codec).  Built-in

@@ -147,3 +147,17 @@ def test_ivf_prunes_cells(spark, emb):
     q = [float(v) for v in emb.filter(F.col("vec_id") == 7).collect()[0]["embedding"]]
     cand = assigned.filter(F.col("_cell").isin(idx._probe_cells(q)))
     assert cand.count() < emb.count()
+
+
+def test_resize_media(spark, docs):
+    from atlas_spark.operators.multimodal import resize_media
+
+    media = attach_media(docs.limit(20), "text", "doc_id")
+    out = resize_media(media, max_side=32).collect()
+    assert len(out) == 20
+    for r in out:
+        assert 1 <= r["width"] <= 32 and 1 <= r["height"] <= 32
+        assert r["payload"] is not None
+    # deterministic
+    out2 = resize_media(media, max_side=32).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
