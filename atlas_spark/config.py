@@ -8,6 +8,7 @@ section, ranges validated like ``schema.rs:374-396``.
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import tomllib
 from dataclasses import asdict, dataclass, field
@@ -108,10 +109,14 @@ _SECTIONS = {
 }
 
 
-def _coerce(cls_default, raw: str):
-    if isinstance(cls_default, bool):
+def _coerce(declared_type: str, raw: str):
+    """Coerce an env-var string by the dataclass field's DECLARED type
+    (not the current value — fields defaulting to None, e.g.
+    ``spark.shuffle_partitions: int | None``, must still coerce)."""
+    t = declared_type.replace(" ", "")
+    if "bool" in t:
         return raw.lower() in ("1", "true", "yes", "on")
-    if isinstance(cls_default, int):
+    if "int" in t:
         return int(raw)
     return raw
 
@@ -132,11 +137,13 @@ def load_config(path: str | None = None,
             if not hasattr(section, key):
                 raise ValueError(f"unknown config key: {name}.{key}")
             setattr(section, key, val)
+        declared = {f.name: str(f.type) for f in dataclasses.fields(cls)}
         for key in vars(section):
             env_key = f"{ENV_PREFIX}_{name.upper()}_{key.upper()}"
             if env_key in env:
-                cur = getattr(section, key)
-                setattr(section, key, _coerce(cur, env[env_key]))
+                setattr(
+                    section, key, _coerce(declared.get(key, "str"), env[env_key])
+                )
     return cfg
 
 

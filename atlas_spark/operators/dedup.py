@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .catalog import _SHINGLE_EXPR
+from .catalog import _SHINGLE_EXPR, _mh
 
 
 def exact_dups(df: DataFrame, id_col: str = "doc_id",
@@ -41,38 +41,39 @@ def near_dups(df: DataFrame, id_col: str = "doc_id",
     MinHash band join → candidate pairs → exact Jaccard verify on
     word 3-shingles → keep the lowest id of each verified pair.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.expr(_SHINGLE_EXPR.format(col=text_col)).alias("_sh"),
-    ).withColumn("_shd", F.array_distinct("_sh"))
-    sig = sh.select(
-        "_id",
-        "_shd",
-        *[
-            F.expr(
-                f"array_min(transform(_sh, x -> md5(concat('{b}', x))))"
-            ).alias(f"_mh{b}")
-            for b in range(n_bands)
-        ],
-    ).cache()
-
-    pairs = None
-    for b in range(n_bands):
-        a_side = sig.select(
-            F.col("_id").alias("id_a"), F.col("_shd").alias("sh_a"),
-            F.col(f"_mh{b}").alias("_band"),
-        )
-        b_side = sig.select(
-            F.col("_id").alias("id_b"), F.col("_shd").alias("sh_b"),
-            F.col(f"_mh{b}").alias("_band"),
-        )
-        p = (
-            a_side.join(b_side, "_band")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "sh_a", "sh_b")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # ONE bound expression per row computes the distinct shingles and
+    # every band's minhash (split/shingling evaluated once — see the
+    # _SHINGLE_EXPR binding note in catalog.py); bands are EXPLODED to
+    # rows so all n_bands buckets join in a single self-join on _band.
+    # Both join sides share an identical plan → ReuseExchange computes
+    # the scan + shingling once; no cache (r01 leaked one here).
+    mh_arr = "array(" + ", ".join(_mh(b) for b in range(n_bands)) + ")"
+    bound = (
+        "element_at(transform(array(array_distinct("
+        + _SHINGLE_EXPR.format(col=text_col)
+        + ")), shd -> named_struct('shd', shd, 'bands', " + mh_arr
+        + ")), 1)"
+    )
+    sig = df.select(
+        F.col(id_col).alias("_id"), F.expr(bound).alias("_s")
+    ).select(
+        "_id", F.col("_s.shd").alias("_shd"),
+        F.posexplode(F.col("_s.bands")).alias("_bandpos", "_band"),
+    )
+    a_side = sig.select(
+        F.col("_id").alias("id_a"), F.col("_shd").alias("sh_a"),
+        "_bandpos", "_band",
+    )
+    b_side = sig.select(
+        F.col("_id").alias("id_b"), F.col("_shd").alias("sh_b"),
+        "_bandpos", "_band",
+    )
+    pairs = (
+        a_side.join(b_side, ["_bandpos", "_band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

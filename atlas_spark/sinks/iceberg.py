@@ -124,12 +124,22 @@ class IcebergSink(Sink):
     def read(self) -> DataFrame:
         return self.spark.table(self.table).filter(~F.col("is_deleted"))
 
-    def compact(self) -> dict:
-        self.spark.sql(
-            f"DELETE FROM {self.table} WHERE is_deleted = true"
-        )
+    def compact(self, drop_tombstones: bool = False) -> dict:
+        """Rewrite small files; tombstones are RETAINED by default.
+
+        Physically deleting a tombstone mid-stream is unsafe: a late
+        out-of-order upsert with a smaller seq would then match nothing
+        and resurrect the key via the NOT MATCHED → INSERT branch.  The
+        tombstone row must stay so the ``s.seq >= t.seq`` guard can
+        reject it — same contract as LakehouseSink.compact.  Pass
+        ``drop_tombstones=True`` only at end-of-replay, when no earlier
+        seq can still arrive."""
+        if drop_tombstones:
+            self.spark.sql(
+                f"DELETE FROM {self.table} WHERE is_deleted = true"
+            )
         self.spark.sql(
             f"CALL {self.table.split('.')[0]}.system.rewrite_data_files"
             f"(table => '{self.table}')"
         )
-        return {"compacted": True}
+        return {"compacted": True, "tombstones_dropped": drop_tombstones}

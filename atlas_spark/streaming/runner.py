@@ -46,17 +46,27 @@ def _valid_expr():
     """Per-record quarantine predicate (W3 analog: the reference tracks
     per-document BulkInsertFailure, traits.rs:27-37; we validate BEFORE
     the write so one bad row can't poison an epoch).  Built lazily —
-    Column construction needs an active SparkContext."""
-    return (
+    Column construction needs an active SparkContext.
+
+    NULL-SAFE: a row with op=NULL makes the raw conjunction evaluate to
+    SQL NULL, which both ``filter(valid)`` and ``filter(~valid)`` drop —
+    the row would silently vanish (or worse, merge).  ``coalesce(…,
+    false)`` pins the three-valued logic down to reject."""
+    return F.coalesce(
         F.col("repo").isNotNull()
         & F.col("path").isNotNull()
         & F.col("seq").isNotNull()
-        & F.col("op").isin("I", "U", "D")
+        & F.col("op").isin("I", "U", "D"),
+        F.lit(False),
     )
 
 
 def validate_batch(df: DataFrame) -> tuple[DataFrame, DataFrame, int]:
-    """Split a raw batch into (valid, rejects, n_rejects)."""
+    """Split a raw batch into (valid, rejects, n_rejects).
+
+    Standalone helper (one extra count job); the runner's hot path uses
+    ``df.observe`` instead to piggyback the reject count on the merge
+    pass — see ``apply_batch``."""
     valid = _valid_expr()
     n_bad = df.filter(~valid).count()
     if n_bad == 0:
@@ -147,26 +157,39 @@ class ReplayRunner:
     # ------------------------------------------------------------ shared
     def apply_batch(self, df: DataFrame, epoch_id: int,
                     started_at: float | None = None) -> dict:
-        n_rejects = 0
+        """Validate → transform → merge, with the reject count observed
+        on the merge pass itself (``df.observe`` CollectMetrics node
+        upstream of the validity filter) — zero extra Spark jobs in the
+        all-rows-good case; the dead-letter write scans the raw batch
+        again only when rejects actually exist."""
+        obs = None
+        raw = df
         if self.quarantine:
-            df, rejects, n_rejects = validate_batch(df)
-            if n_rejects and self.rejects_dir:
-                # dead-letter append (W3: per-record failure isolation)
-                rejects.withColumn("_epoch_id", F.lit(epoch_id)).write.mode(
-                    "append"
-                ).parquet(self.rejects_dir)
+            from pyspark.sql import Observation
+
+            valid = _valid_expr()
+            obs = Observation(f"quarantine_e{epoch_id}")
+            df = df.observe(
+                obs, F.sum((~valid).cast("long")).alias("n_bad")
+            ).filter(valid)
         batch = prepare_batch(df, self.rules)
         if self.transform is not None:
             batch = self.transform(batch)
         if self.dry_run:
             # W6 write-elision: trigger the compute, commit nothing
             n = batch.count()
+            n_rejects = self._drain_rejects(obs, raw, epoch_id)
             return {
                 "epoch_id": epoch_id, "rows_in": n, "dry_run": True,
                 "skipped": True, "rejects": n_rejects,
             }
         res = self.sink.merge(batch, epoch_id)
-        res["rejects"] = n_rejects
+        # fenced redelivery runs no action — obs.get would block forever;
+        # the original delivery already dead-lettered this epoch's rejects
+        res["rejects"] = (
+            0 if res.get("skipped")
+            else self._drain_rejects(obs, raw, epoch_id)
+        )
         if self.control is not None and not res.get("skipped"):
             self.control.mark_completed(
                 epoch_id,
@@ -184,7 +207,18 @@ class ReplayRunner:
             )
         return res
 
-    # ----------------------------------------------------- batch replay
+    def _drain_rejects(self, obs, raw: DataFrame, epoch_id: int) -> int:
+        """Read the observed reject count (available once the merge /
+        dry-run action has executed) and dead-letter the bad rows if any
+        (W3: per-record failure isolation)."""
+        if obs is None:
+            return 0
+        n_bad = int(obs.get["n_bad"] or 0)
+        if n_bad and self.rejects_dir:
+            raw.filter(~_valid_expr()).withColumn(
+                "_epoch_id", F.lit(epoch_id)
+            ).write.mode("append").parquet(self.rejects_dir)
+        return n_bad
     def plan_epochs(self, changelog_dir: str) -> list[list[str]]:
         files = sorted(
             os.path.join(changelog_dir, f)
@@ -231,15 +265,29 @@ class ReplayRunner:
                     )
 
     def _record_epoch_plan(self, epoch_id: int, files: list[str]) -> None:
+        """Append the epoch→files mapping, idempotently (re-appending an
+        identical entry is skipped; last line wins on replan of an
+        uncommitted epoch).  Called BEFORE the sink commit so a crash in
+        the commit-then-record window can't leave a committed epoch
+        invisible to the resume re-slicing guard."""
         import json as _json
 
         path = self._epoch_plan_path()
         if path is None:
             return
+        names = [os.path.basename(p) for p in files]
+        if os.path.exists(path):
+            last_entry = None
+            with open(path) as f:
+                for line in f:
+                    rec = _json.loads(line)
+                    if rec["epoch_id"] == epoch_id:
+                        last_entry = rec["files"]
+            if last_entry == names:
+                return
         with open(path, "a") as f:
             f.write(_json.dumps({
-                "epoch_id": epoch_id,
-                "files": [os.path.basename(p) for p in files],
+                "epoch_id": epoch_id, "files": names,
             }) + "\n")
 
     def run(
@@ -281,9 +329,9 @@ class ReplayRunner:
                 else time.time()
             )
             df = self.spark.read.schema(CHANGELOG_DDL).parquet(*files)
-            res = self.apply_batch(df, epoch_id, started)
-            if not res.get("skipped"):
+            if not self.dry_run:
                 self._record_epoch_plan(epoch_id, files)
+            res = self.apply_batch(df, epoch_id, started)
             s.epochs_applied += 1
             s.rows_in += res.get("rows_in", 0)
             s.deletes += res.get("deletes", 0) or 0

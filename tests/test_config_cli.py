@@ -45,6 +45,26 @@ def test_toml_load_and_env_override(tmp_path):
     assert cfg2.run.dry_run is True
 
 
+def test_env_coerce_none_default_fields(tmp_path):
+    """Fields declared ``int | None`` (default None) must still coerce
+    env strings by DECLARED type, not current value (ADVICE r01)."""
+    p = tmp_path / "cfg.toml"
+    p.write_text(
+        '[source]\nchangelog_dir = "/data/log"\n'
+        '[sink]\ntable_root = "/data/table"\n'
+    )
+    cfg = load_config(
+        str(p),
+        env={
+            "ATLAS_SPARK_SPARK_SHUFFLE_PARTITIONS": "64",
+            "ATLAS_SPARK_SPARK_MASTER": "local[8]",
+        },
+    )
+    assert cfg.spark.shuffle_partitions == 64  # int, not '64'
+    assert cfg.spark.master == "local[8]"
+    assert cfg.validate() == []  # no TypeError from '64' comparison
+
+
 def test_unknown_key_rejected(tmp_path):
     p = tmp_path / "bad.toml"
     p.write_text("[source]\nbogus = 1\n")

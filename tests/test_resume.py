@@ -124,6 +124,55 @@ def test_crash_between_commit_and_control_write_backfills(spark, tmp_path):
     assert statuses[0] == "completed"
 
 
+def test_plan_recorded_before_commit_covers_crash_window(spark, tmp_path):
+    """ADVICE r01: the epoch→files plan must be appended BEFORE the sink
+    commit, so a crash inside the commit can't leave a committed epoch
+    invisible to the resume re-slicing guard — and re-recording the same
+    epoch on resume must be idempotent (no duplicate lines)."""
+    import json
+    import os
+
+    import pytest
+
+    spec = ChangelogSpec(n_events=600, n_repos=5, paths_per_repo=10)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=6)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=4)
+    sink.ensure()
+    runner = ReplayRunner(spark, sink, ControlTables(root), files_per_epoch=2)
+
+    orig_merge = sink.merge
+
+    def crash_on_epoch_2(batch, epoch_id, **kw):
+        if epoch_id == 2:
+            raise RuntimeError("simulated crash mid-commit")
+        return orig_merge(batch, epoch_id, **kw)
+
+    sink.merge = crash_on_epoch_2
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        runner.run(log_dir)
+    sink.merge = orig_merge
+
+    plan_path = os.path.join(root, "_control", "epoch_plan.jsonl")
+    with open(plan_path) as f:
+        entries = [json.loads(x) for x in f]
+    # epoch 2's plan was recorded even though its commit crashed
+    assert {e["epoch_id"] for e in entries} == {0, 1, 2}
+
+    # resume with fresh objects: completes, and the re-record of epoch 2
+    # (identical files) is skipped — exactly one line per epoch
+    sink2 = LakehouseSink(spark, root, n_buckets=4)
+    runner2 = ReplayRunner(spark, sink2, ControlTables(root), files_per_epoch=2)
+    runner2.run(log_dir)
+    with open(plan_path) as f:
+        entries = [json.loads(x) for x in f]
+    assert sorted(e["epoch_id"] for e in entries) == [0, 1, 2]
+    check_against_oracle(spark, sink2, changelog)
+
+
 def test_resume_with_changed_epoch_plan_refuses(spark, tmp_path):
     """Fencing is by ordinal epoch id: resuming with a different
     files_per_epoch would silently skip unapplied files — must raise."""
