@@ -98,23 +98,28 @@ class Anonymizer:
         return out
 
     def report(self, df: DataFrame, col: str) -> DataFrame:
-        """A9 dry-run report: per-category totals + document coverage."""
+        """A9 dry-run report: per-category totals + document coverage.
+
+        ONE scan: all 2·N aggregates ride a single pass over the corpus
+        (r01 unioned one agg per category = N scans), then ``stack``
+        unpivots the single row to (category, totals) rows."""
         det = self.detect(df, col)
-        rows = []
+        aggs = []
         for cat in self.active:
-            rows.append(
-                det.agg(
-                    F.lit(cat).alias("category"),
-                    F.sum(f"_n_{cat}").alias("total_matches"),
-                    F.sum((F.col(f"_n_{cat}") > 0).cast("long")).alias(
-                        "docs_with_match"
-                    ),
-                )
+            aggs.append(F.coalesce(F.sum(f"_n_{cat}"), F.lit(0))
+                        .cast("long").alias(f"_t_{cat}"))
+            aggs.append(
+                F.coalesce(F.sum((F.col(f"_n_{cat}") > 0).cast("long")),
+                           F.lit(0)).cast("long").alias(f"_d_{cat}")
             )
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out
+        one = det.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{cat}', _t_{cat}, _d_{cat}" for cat in self.active
+        )
+        return one.selectExpr(
+            f"stack({len(self.active)}, {stack_args}) AS "
+            "(category, total_matches, docs_with_match)"
+        )
 
     # ----------------------------------------------------------- redact
     def redact(self, df: DataFrame, col: str,

@@ -512,17 +512,23 @@ def q_topn_per_group(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_simhash(spark, sf_dir):
-    """16-bit SimHash fingerprints (columnar fold over word CRC32s);
-    exact python-oracle parity tested in test_training_ops.py."""
+    """16-bit SimHash fingerprints (columnar fold).  Uses the md5_16
+    word-hash family so the DuckDB oracle can recompute the EXACT bits
+    (md5 + instr nibble arithmetic exists in both engines); the crc32
+    family keeps its python-oracle pytest in test_training_ops.py."""
     from .similarity import simhash16
 
     d = _t(spark, sf_dir, "documents")
-    return simhash16(d, "text").select("doc_id", "simhash")
+    return simhash16(d, "text", word_hash="md5_16").select(
+        "doc_id", "simhash"
+    )
 
 
 def q_ivf_ann(spark, sf_dir):
     """IVF-style ANN: probe 4 of 16 coarse cells, exact cosine inside —
-    the partition-pruned scale path for similarity search."""
+    the partition-pruned scale path for similarity search.  Threshold
+    (not top-k) output + 6-dp-rounded cell argmax make the result
+    oracle-reproducible in DuckDB (no rank boundary to flip)."""
     from .similarity import IvfIndex
 
     e = _t(spark, sf_dir, "embeddings")
@@ -532,7 +538,7 @@ def q_ivf_ann(spark, sf_dir):
     ]
     idx = IvfIndex(n_cells=16, nprobe=4)
     idx.build(e)
-    return idx.search(q, k=20)
+    return idx.search_threshold(q, threshold=0.2, exclude_id=0)
 
 
 def q_media_features(spark, sf_dir):
@@ -590,7 +596,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_format_key": q_format_key,
     "q_percentile_nchars": q_percentile_nchars,
     "q_topn_per_group": q_topn_per_group,
-    # rows-only (python-oracle pytests; no SQL equivalent)
     "q_simhash": q_simhash,
     "q_ivf_ann": q_ivf_ann,
     "q_media_features": q_media_features,
@@ -792,3 +797,113 @@ ORACLES: dict[str, str] = {
           FROM events) WHERE rnk <= 3
     """,
 }
+
+
+def _sqlq(pat: str) -> str:
+    """Escape a regex for embedding in a single-quoted SQL literal."""
+    return pat.replace("'", "''")
+
+
+# q_anonymize_report oracle is generated from the SAME pattern registry
+# the Spark query uses (atlas_spark.anonymize.PATTERNS), so the two
+# sides cannot drift.  The four categories here are RE2-safe (DuckDB)
+# and java.util.regex-identical: no lookaround, no backrefs.
+from ..anonymize import PATTERNS as _PII  # noqa: E402
+
+_REPORT_CATS = ["EMAIL", "URL", "DATE", "ZIP"]
+
+ORACLES["q_anonymize_report"] = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS category,
+        coalesce(sum(len(regexp_extract_all(text, '{_sqlq(_PII[c])}'))), 0)::BIGINT
+          AS total_matches,
+        coalesce(sum((len(regexp_extract_all(text, '{_sqlq(_PII[c])}')) > 0)::INT), 0)::BIGINT
+          AS docs_with_match
+        FROM documents"""
+    for c in _REPORT_CATS
+)
+
+# q_media_features oracle: the stub codec's features are deterministic
+# functions of the payload bytes (sha256 digest bytes 0/1 → width/
+# height, hexdigest → checksum), so DuckDB can recompute them exactly.
+_HX = "'0123456789abcdef'"
+
+
+def _hexbyte(col: str, pos: int) -> str:
+    """SQL for int value of hex byte at 1-based hex-char position."""
+    return (
+        f"((instr({_HX}, substr({col}, {pos}, 1)) - 1) * 16 + "
+        f"instr({_HX}, substr({col}, {pos + 1}, 1)) - 1)"
+    )
+
+
+# q_simhash oracle: recompute the md5_16 simhash bit-exactly in DuckDB
+# (unnest words → nibble-parse md5 → 16 vote sums → assemble bits).
+# Wordless docs get 65535 (all votes 0 → every bit set), matching the
+# Spark fold over an empty array.
+def _simhash_oracle() -> str:
+    nib = [f"(instr({_HX}, substr(m, {i}, 1)) - 1)" for i in (1, 2, 3, 4)]
+    hw = f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+    votes = ", ".join(
+        f"sum(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} >= 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, unnest(list_filter(
+                     string_split(text, ' '), x -> x != '')) AS word
+                   FROM documents),
+        h AS (SELECT doc_id, {hw} AS hw
+              FROM (SELECT doc_id, md5(word) AS m FROM w)),
+        v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT d.doc_id,
+               (CASE WHEN v.doc_id IS NULL THEN 65535 ELSE {bits} END)::BIGINT
+                 AS simhash
+        FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+    """
+
+
+ORACLES["q_simhash"] = _simhash_oracle()
+
+# q_ivf_ann oracle: recompute the IVF search end-to-end in DuckDB —
+# centroids = 16 lowest-id vectors, cell = argmax of 6-dp-rounded
+# cosine (ties → lowest cell id, matching the Spark fold and the
+# python probe), probe the 4 best cells for the query (vec_id 0),
+# then threshold on the 3-dp-rounded cosine.
+_COS_DD = (
+    "round(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * "
+    "sqrt(list_inner_product({b}, {b}))), {r})"
+)
+
+ORACLES["q_ivf_ann"] = f"""
+    WITH c AS (SELECT vec_id AS ci, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+    probe AS (SELECT ci FROM c, q
+              ORDER BY {_COS_DD.format(a='ce', b='qe', r=6)} DESC, ci
+              LIMIT 4),
+    cells AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                (SELECT ci FROM c
+                 ORDER BY {_COS_DD.format(a='c.ce', b='e.embedding::DOUBLE[]', r=6)}
+                   DESC, ci
+                 LIMIT 1) AS cell
+              FROM embeddings e)
+    SELECT vec_id, {_COS_DD.format(a='v', b='qe', r=3)} AS cos_sim
+    FROM cells, q
+    WHERE cell IN (SELECT ci FROM probe) AND vec_id != 0
+      AND {_COS_DD.format(a='v', b='qe', r=3)} >= 0.2
+"""
+
+ORACLES["q_media_features"] = f"""
+    WITH b AS (SELECT doc_id, sha256(text) AS sha,
+                      octet_length(encode(text)) AS nb
+               FROM documents)
+    SELECT doc_id::BIGINT AS media_id, 'image' AS kind,
+           nb::BIGINT AS n_bytes,
+           (16 + {_hexbyte('sha', 1)} % 64)::INTEGER AS width,
+           (16 + {_hexbyte('sha', 3)} % 64)::INTEGER AS height,
+           sha AS checksum
+    FROM b
+"""

@@ -77,8 +77,14 @@ class IvfIndex:
         return self.assigned
 
     def _argmax_cell_expr(self):
+        # similarities are ROUNDED to 6 dp before the argmax and ties
+        # break to the lowest centroid id — this makes the assignment
+        # reproducible across engines (the DuckDB oracle recomputes it
+        # with list_inner_product; a last-ulp difference in the float
+        # fold must not flip a cell)
         sims = [
-            f"named_struct('s', {_cos_sql(self.emb_col, _qlit(c))}, 'i', {i})"
+            f"named_struct('s', round({_cos_sql(self.emb_col, _qlit(c))}, 6), "
+            f"'i', {i})"
             for i, c in enumerate(self.centroids)
         ]
         arr = "array(" + ", ".join(sims) + ")"
@@ -97,8 +103,8 @@ class IvfIndex:
             return d / (na * nb) if na and nb else -2.0
 
         scored = sorted(
-            ((cos(vec, c), i) for i, c in enumerate(self.centroids)),
-            reverse=True,
+            ((round(cos(vec, c), 6), i) for i, c in enumerate(self.centroids)),
+            key=lambda t: (-t[0], t[1]),  # ties → lowest cell id
         )
         return [i for _, i in scored[: self.nprobe]]
 
@@ -110,18 +116,62 @@ class IvfIndex:
         cand = self.assigned.filter(F.col("_cell").isin(cells))
         return brute_force_topk(cand, vec, k, self.id_col, self.emb_col)
 
+    def search_threshold(self, vec, threshold: float = 0.2,
+                         exclude_id=None) -> DataFrame:
+        """All vectors in the probed cells with rounded cosine ≥
+        ``threshold`` — the rank-free variant (a top-k LIMIT can flip
+        rows at the boundary under float rounding; a threshold on the
+        3-dp-rounded score cannot), used by the oracle-checked
+        q_ivf_ann."""
+        assert self.assigned is not None, "call build() first"
+        cells = self._probe_cells(list(map(float, vec)))
+        cand = self.assigned.filter(F.col("_cell").isin(cells))
+        cos = F.expr(_cos_sql(self.emb_col, _qlit(vec)))
+        out = cand.select(
+            self.id_col, F.round(cos, 3).alias("cos_sim")
+        ).filter(F.col("cos_sim") >= threshold)
+        if exclude_id is not None:
+            out = out.filter(F.col(self.id_col) != exclude_id)
+        return out
+
 
 # --------------------------------------------------------------- simhash
 
+# Per-word 16-bit hash functions (SQL templates over word var `w`).
+# * crc32 — bit-identical in Spark (crc32) and Python (zlib.crc32);
+#   the pytest oracle recomputes it exactly.
+# * md5_16 — first 4 hex nibbles of md5(w), parsed with instr()
+#   arithmetic that is expressible IDENTICALLY in Spark SQL and DuckDB
+#   (neither shares crc32/xxhash with the other; md5 they both have) —
+#   this is the driver-oracle-checkable variant.
+_HX = "'0123456789abcdef'"
+
+
+def _md5_16_sql(w: str) -> str:
+    nib = [
+        f"(instr({_HX}, substr(m, {i}, 1)) - 1)" for i in (1, 2, 3, 4)
+    ]
+    val = f"({nib[0]} * 4096 + {nib[1]} * 256 + {nib[2]} * 16 + {nib[3]})"
+    # bind m := md5(w) once (4 nibble reads share one md5 evaluation)
+    return f"element_at(transform(array(md5({w})), m -> CAST({val} AS BIGINT)), 1)"
+
+
+_WORD_HASH = {
+    "crc32": lambda w: f"crc32(encode({w}, 'utf-8'))",
+    "md5_16": _md5_16_sql,
+}
+
+
 def simhash16(df: DataFrame, text_col: str = "text",
-              out_col: str = "simhash") -> DataFrame:
-    """16-bit SimHash over word CRC32s, one columnar fold:
-    bit i of the hash = sign of Σ_words (±1 by bit i of crc32(word)).
-    CRC32 is chosen because it is bit-identical in Spark (crc32) and
-    Python (zlib.crc32) — the pytest oracle recomputes it exactly."""
+              out_col: str = "simhash",
+              word_hash: str = "crc32") -> DataFrame:
+    """16-bit SimHash, one columnar fold: bit i of the hash = sign of
+    Σ_words (±1 by bit i of word_hash(word)).  ``word_hash`` picks the
+    per-word hash family (see _WORD_HASH)."""
+    hw = _WORD_HASH[word_hash]("w")
     ws = f"filter(split({text_col}, ' '), w -> w != '')"
     votes = (
-        f"aggregate(transform({ws}, w -> crc32(encode(w, 'utf-8'))), "
+        f"aggregate(transform({ws}, w -> {hw}), "
         "array_repeat(0L, 16), "
         "(acc, h) -> zip_with(acc, transform(sequence(0, 15), "
         "i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END), "
@@ -135,30 +185,52 @@ def simhash16(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.expr(bits))
 
 
+def _band_slices(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
+    """Split ``n_bits`` into ``n_bands`` contiguous (offset, width)
+    slices, widths differing by at most 1."""
+    base, extra = divmod(n_bits, n_bands)
+    out, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
-                      max_hamming: int = 2) -> DataFrame:
-    """Near-dup pairs: band on the two simhash bytes (a pair within
-    hamming ≤ max_hamming shares at least one identical byte for
-    16-bit/2-band), verify hamming exactly on candidates."""
-    s = simhash16(df, text_col).select(
+                      max_hamming: int = 2,
+                      word_hash: str = "crc32") -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits, banded.
+
+    Pigeonhole recall guarantee: the 16 bits are split into
+    ``max_hamming + 1`` bands, so any pair differing in ≤ max_hamming
+    bits has at least one band with NO differing bit → lands in the
+    same bucket (r01 used 2 fixed byte-bands, which only guarantees
+    hamming ≤ 1).  Bands are exploded to rows so all bands join in ONE
+    self-join on (band_index, band_value); exact hamming verifies
+    candidates."""
+    n_bands = max_hamming + 1
+    s = simhash16(df, text_col, word_hash=word_hash)
+    bands = F.array(*[
+        F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in _band_slices(16, n_bands)
+    ])
+    rel = s.select(
         F.col(id_col), F.col("simhash"),
-        (F.col("simhash") % 256).alias("band_lo"),
-        (F.col("simhash") / 256).cast("long").alias("band_hi"),
+        F.posexplode(bands).alias("_bandpos", "_band"),
     )
-    a, b = s.alias("a"), s.alias("b")
-    pairs = None
-    for band in ("band_lo", "band_hi"):
-        p = (
-            a.join(b, F.col(f"a.{band}") == F.col(f"b.{band}"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(
-                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-                ).alias("hamming"),
-            )
+    a, b = rel.alias("a"), rel.alias("b")
+    return (
+        a.join(b, ["_bandpos", "_band"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct().filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -106,6 +106,58 @@ def test_simhash_near_dups_finds_planted(spark):
     assert all(3 not in p for p in ham)
 
 
+def test_band_slices_pigeonhole():
+    """ADVICE r01: with max_hamming+1 bands, ANY pair within
+    max_hamming bits shares at least one whole band (pigeonhole) — the
+    r01 fixed 2-byte banding only guaranteed hamming ≤ 1."""
+    import random
+
+    from atlas_spark.operators.similarity import _band_slices
+
+    rnd = random.Random(7)
+    for max_h in (1, 2, 3):
+        slices = _band_slices(16, max_h + 1)
+        assert sum(w for _, w in slices) == 16
+        assert [off for off, _ in slices] == sorted(off for off, _ in slices)
+        for _ in range(500):
+            x = rnd.getrandbits(16)
+            y = x
+            for b in rnd.sample(range(16), max_h):
+                y ^= 1 << b
+            assert any(
+                (x >> off) & ((1 << w) - 1) == (y >> off) & ((1 << w) - 1)
+                for off, w in slices
+            ), (hex(x), hex(y), max_h)
+
+
+def test_simhash_md5_variant_matches_python():
+    """The md5_16 word-hash family (driver-oracle-portable) — python
+    recomputation of the nibble arithmetic."""
+    import hashlib
+
+    def py_md5_simhash(text: str) -> int:
+        words = [w for w in text.split(" ") if w != ""]
+        votes = [0] * 16
+        for w in words:
+            h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:4], 16)
+            for i in range(16):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(16) if votes[i] >= 0)
+
+    import pyspark.sql.functions as FF
+
+    from atlas_spark.session import get_spark
+    spark = get_spark("t_md5sh", master="local[4]", shuffle_partitions=4)
+    rows = [(1, "alpha beta gamma alpha"), (2, ""), (3, "  x  "), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash16(df, "text", word_hash="md5_16").collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == py_md5_simhash(text), (doc_id, text)
+
+
 # ------------------------------------------------------------------ ANN
 
 def py_cos(a, b):
