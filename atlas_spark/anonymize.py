@@ -26,7 +26,9 @@ the HIPAA Safe-Harbor identifier list, which is public knowledge.
 
 from __future__ import annotations
 
+import os
 import re
+import tomllib
 from dataclasses import dataclass, field
 
 import pandas as pd
@@ -35,28 +37,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 # --------------------------------------------------------------------- A3
-# pattern registry (module-level compile; broadcast to executors free —
-# closures serialize the compiled list once per task set)
+# pattern registry: loaded from patterns/pii_patterns.toml (regex +
+# static per-category confidence, reference analog: TOML-driven
+# registry with a confidence threshold, detector/regex.rs:12-34).
+# Module-level load+compile; broadcast to executors free — closures
+# serialize the compiled list once per task set.
 
-PATTERNS: dict[str, str] = {
-    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "PHONE": r"\b(?:\+?1[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
-    "SSN": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "CREDIT_CARD": r"\b(?:[0-9]{4}[- ]){3}[0-9]{4}\b",
-    "IP_ADDRESS": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
-    "URL": r"https?://[^\s\"']+",
-    "DATE": r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b",
-    "ZIP": r"\b[0-9]{5}(?:-[0-9]{4})?\b",
-    "MRN": r"\bMRN[:# ]?[0-9]{6,10}\b",
-    "LICENSE": r"\b[A-Z]{1,2}[0-9]{6,8}\b",
-}
+_TOML_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "patterns",
+    "pii_patterns.toml",
+)
 
-# A8 — compliance category sets
+
+def _load_registry(path: str = _TOML_PATH) -> tuple[dict[str, str], dict[str, float]]:
+    with open(path, "rb") as f:
+        raw = tomllib.load(f)
+    patterns, confidence = {}, {}
+    for cat, spec in raw.items():
+        patterns[cat] = spec["pattern"]
+        confidence[cat] = float(spec.get("confidence", 1.0))
+        re.compile(patterns[cat])  # fail at import, not mid-job
+    return patterns, confidence
+
+
+PATTERNS, CONFIDENCE = _load_registry()
+
+# A8 — compliance category sets.  HIPAA = Safe-Harbor identifiers;
+# GDPR = HIPAA + quasi-identifiers (special-category adjacent).
 HIPAA_CATEGORIES = [
     "EMAIL", "PHONE", "SSN", "IP_ADDRESS", "URL", "DATE", "ZIP",
-    "MRN", "LICENSE", "CREDIT_CARD",
+    "MRN", "LICENSE", "CREDIT_CARD", "NAME", "GEO_LOCATION",
+    "ACCOUNT_NUMBER", "DEVICE_ID", "VEHICLE_ID", "AGE",
 ]
-GDPR_CATEGORIES = HIPAA_CATEGORIES  # + quasi-identifiers below
+GDPR_CATEGORIES = HIPAA_CATEGORIES + [
+    "OCCUPATION", "EDUCATION", "MARITAL_STATUS", "ETHNICITY",
+]
 GDPR_EXTRA = ["IP_ADDRESS", "URL"]  # always-on under GDPR
 
 
@@ -74,17 +89,28 @@ def categories_for(mode: str | None) -> list[str]:
 
 @dataclass
 class Anonymizer:
-    """A1 engine orchestration, columnar."""
+    """A1 engine orchestration, columnar.
+
+    ``confidence_threshold`` mirrors the reference's detector gate
+    (detections scoring below 0.7 are dropped): every match inherits
+    its category's static confidence, so the gate deactivates whole
+    low-confidence categories (OCCUPATION/EDUCATION/MARITAL_STATUS/
+    ETHNICITY at the default 0.7) unless the caller lowers it."""
 
     mode: str | None = "hipaa"
     strategy: str = "redact"  # or "tokenize"
     categories: list[str] | None = None
+    confidence_threshold: float = 0.7
 
     def __post_init__(self):
-        self.active = self.categories or categories_for(self.mode)
-        unknown = set(self.active) - set(PATTERNS)
+        requested = self.categories or categories_for(self.mode)
+        unknown = set(requested) - set(PATTERNS)
         if unknown:
             raise ValueError(f"unknown categories: {sorted(unknown)}")
+        self.active = [
+            c for c in requested
+            if CONFIDENCE[c] >= self.confidence_threshold
+        ]
 
     # ------------------------------------------------------------ detect
     def detect(self, df: DataFrame, col: str) -> DataFrame:
@@ -154,6 +180,59 @@ class Anonymizer:
 
         return df.withColumn(out_col or col, _tok(F.col(col)))
 
+    # --------------------------------------------------- detect entities
+    def detect_entities(self, df: DataFrame, col: str,
+                        key_col: str) -> DataFrame:
+        """Per-detection entity rows (reference analog: PiiEntity with
+        category/field-path/span/confidence, models/pii_entity.rs):
+        ``(record_key, category, start, end, confidence, value_sha256)``.
+
+        Spans need match POSITIONS, which builtin regexp_* functions
+        don't expose — this is the designated Arrow-batched pandas-UDF
+        surface: ONE UDF runs every active pattern per batch and emits
+        an array of span structs, exploded JVM-side.  The plaintext
+        match never leaves the row: it is sha256-hashed and dropped in
+        the same projection (A7 discipline).
+        """
+        compiled = [(c, re.compile(PATTERNS[c])) for c in self.active]
+
+        @pandas_udf(
+            "array<struct<category:string,start:int,end:int,value:string>>"
+        )
+        def _spans(s: pd.Series) -> pd.Series:
+            def one(text):
+                if text is None:
+                    return []
+                out = []
+                for cat, pat in compiled:
+                    for m in pat.finditer(text):
+                        out.append(
+                            {"category": cat, "start": m.start(),
+                             "end": m.end(), "value": m.group(0)}
+                        )
+                return out
+
+            return s.map(one)
+
+        conf_map = F.create_map(*[
+            x for c in self.active
+            for x in (F.lit(c), F.lit(CONFIDENCE[c]))
+        ])
+        return (
+            df.select(
+                F.col(key_col).alias("record_key"),
+                F.explode(_spans(F.col(col))).alias("_e"),
+            )
+            .select(
+                "record_key",
+                F.col("_e.category").alias("category"),
+                F.col("_e.start").alias("start"),
+                F.col("_e.end").alias("end"),
+                conf_map[F.col("_e.category")].alias("confidence"),
+                F.sha2(F.col("_e.value"), 256).alias("value_sha256"),
+            )
+        )
+
     # ------------------------------------------------------------- audit
     def audit(self, df: DataFrame, col: str, key_col: str) -> DataFrame:
         """A7: hashed audit log — every detected value, SHA-256-hashed
@@ -179,6 +258,63 @@ class Anonymizer:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    # ----------------------------------------------- path-addressed (A6)
+    def _redact_expr(self, expr):
+        for cat in self.active:
+            expr = F.regexp_replace(expr, PATTERNS[cat], f"[REDACTED_{cat}]")
+        return expr
+
+    def anonymize_map_field(self, df: DataFrame, map_col: str, key: str,
+                            out_col: str | None = None) -> DataFrame:
+        """A6 path-addressed anonymization: redact/tokenize ONLY the
+        value at ``key`` inside a ``map<string,string>`` payload column
+        (reference analog: replace-at-dotted-path inside the dynamic
+        payload, engine.rs:316-355).  Every other entry — and every
+        other column — passes through byte-identical.
+
+        redact strategy: pure builtin ``transform_values`` (JVM,
+        codegen).  tokenize strategy: the value is lifted out, run
+        through the Arrow-batched token UDF, and stitched back with
+        ``map_filter``+``map_concat`` (only when the key is present).
+        """
+        out = out_col or map_col
+        if self.strategy == "tokenize":
+            tokd = self.tokenize(
+                df.withColumn("_pv", F.element_at(F.col(map_col), key)),
+                "_pv",
+            )
+            replaced = F.map_concat(
+                F.map_filter(F.col(map_col), lambda k, _: k != F.lit(key)),
+                F.create_map(F.lit(key), F.col("_pv")),
+            )
+            return tokd.withColumn(
+                out,
+                F.when(
+                    F.map_contains_key(F.col(map_col), F.lit(key)),
+                    replaced,
+                ).otherwise(F.col(map_col)),
+            ).drop("_pv")
+        return df.withColumn(
+            out,
+            F.transform_values(
+                F.col(map_col),
+                lambda k, v: F.when(
+                    k == F.lit(key), self._redact_expr(v)
+                ).otherwise(v),
+            ),
+        )
+
+    def anonymize_struct_field(self, df: DataFrame, col: str,
+                               field_path: str) -> DataFrame:
+        """A6 for typed payloads: redact a dotted ``field_path`` inside
+        a struct column in place (``withField`` — the rest of the
+        struct is untouched)."""
+        target = F.col(col).getField(field_path) if "." not in field_path \
+            else F.col(f"{col}.{field_path}")
+        return df.withColumn(
+            col, F.col(col).withField(field_path, self._redact_expr(target))
+        )
 
     # ------------------------------------------------------------ apply
     def anonymize(self, df: DataFrame, col: str,

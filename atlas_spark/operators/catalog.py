@@ -560,6 +560,32 @@ def q_anonymize_report(spark, sf_dir):
     )
 
 
+def q_detect_entities(spark, sf_dir):
+    """A2 per-detection entity rows (category/confidence/hashed value;
+    the span columns exist in the API but are dropped here because
+    DuckDB has no match-position function to oracle them — they are
+    pytest-verified instead).
+
+    The synthetic corpus contains no PII-shaped tokens, so the query
+    enriches each doc with deterministic per-row contact lines (same
+    construction in the oracle SQL) — every category fires with values
+    that vary per row, making the hash compare non-vacuous."""
+    from ..anonymize import Anonymizer
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_txt",
+        F.expr(
+            "text || ' reach user' || CAST(doc_id AS STRING) || "
+            "'@example.com via https://mirror/' || source || "
+            "' on 2024-03-15 zip 90210-1234'"
+        ),
+    )
+    ents = Anonymizer(
+        categories=["EMAIL", "URL", "DATE", "ZIP"]
+    ).detect_entities(d, "_txt", "doc_id")
+    return ents.select("record_key", "category", "confidence", "value_sha256")
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -600,6 +626,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_ann": q_ivf_ann,
     "q_media_features": q_media_features,
     "q_anonymize_report": q_anonymize_report,
+    "q_detect_entities": q_detect_entities,
 }
 
 _SHINGLE_SQL = (
@@ -835,6 +862,28 @@ def _hexbyte(col: str, pos: int) -> str:
         f"instr({_HX}, substr({col}, {pos + 1}, 1)) - 1)"
     )
 
+
+# q_detect_entities oracle: one UNION ALL branch per category, match
+# values unnested and sha256-hashed (never plaintext in the output),
+# each row carrying the category's static confidence — same registry
+# as the Spark side.
+from ..anonymize import CONFIDENCE as _PII_CONF  # noqa: E402
+
+_ENRICH_SQL = (
+    "text || ' reach user' || doc_id::VARCHAR || "
+    "'@example.com via https://mirror/' || source || "
+    "' on 2024-03-15 zip 90210-1234'"
+)
+
+ORACLES["q_detect_entities"] = "\nUNION ALL\n".join(
+    f"""SELECT doc_id AS record_key, '{c}' AS category,
+        {_PII_CONF[c]} AS confidence, sha256(m) AS value_sha256
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all({_ENRICH_SQL},
+                                               '{_sqlq(_PII[c])}')) AS m
+              FROM documents)"""
+    for c in _REPORT_CATS
+)
 
 # q_simhash oracle: recompute the md5_16 simhash bit-exactly in DuckDB
 # (unnest words → nibble-parse md5 → 16 vote sums → assemble bits).
