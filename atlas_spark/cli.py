@@ -159,7 +159,7 @@ def cmd_verify(args) -> int:
     from .verification import verify_state
 
     expected = spark.read.parquet(args.expected)
-    report = verify_state(sink.read(), expected)
+    report = verify_state(sink.read(), expected, with_detail=True)
     print(
         f"expected={report.expected_rows} actual={report.actual_rows} "
         f"missing={report.missing} unexpected={report.unexpected} "
@@ -167,6 +167,14 @@ def cmd_verify(args) -> int:
         f"success_rate={report.success_rate:.4f} "
         f"{'PASS' if report.passed else 'FAIL'}"
     )
+    # per-key failure detail (report.rs:11-108 analog): name the keys,
+    # not just the counts — capped sample, O(n) driver cost
+    for f in report.sample_failures(args.show_failures):
+        print(
+            f"  {f['reason']:<13} {f['repo']}/{f['path']} "
+            f"actual={f['actual_sha256'] or '-'} "
+            f"expected={f['expected_sha256'] or '-'}"
+        )
     spark.stop()
     return 0 if report.passed else 1
 
@@ -199,6 +207,8 @@ def main(argv=None) -> int:
     sp.add_argument("-c", "--config", required=True)
     sp.add_argument("-e", "--expected", required=True,
                     help="parquet with (repo, path, content_sha256)")
+    sp.add_argument("-n", "--show-failures", type=int, default=20,
+                    help="max failing keys to print with reasons")
     sp.set_defaults(fn=cmd_verify)
     args = p.parse_args(argv)
     return args.fn(args)

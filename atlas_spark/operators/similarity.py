@@ -59,22 +59,46 @@ class IvfIndex:
         self.centroids: list[list[float]] | None = None
         self.assigned: DataFrame | None = None
 
-    def build(self, df: DataFrame) -> DataFrame:
-        """Deterministic coarse quantizer: centroids = the n_cells
-        lowest-id vectors (k-means would be the production upgrade; the
-        index structure and pruning behavior are identical)."""
-        rows = (
-            df.orderBy(self.id_col)
-            .limit(self.n_cells)
-            .select(F.col(self.emb_col).cast("array<double>").alias("c"))
-            .collect()
-        )
-        self.centroids = [list(r["c"]) for r in rows]
+    def build(self, df: DataFrame, centroids: str = "lowid") -> DataFrame:
+        """Coarse quantizer.  ``centroids=``
+
+        * ``"lowid"`` — the n_cells lowest-id vectors: trivially
+          deterministic, reproducible by the DuckDB oracle (this is
+          what q_ivf_ann uses).
+        * ``"kmeans"`` — Spark ML KMeans|| with cosine distance and a
+          fixed seed: the production-quality quantizer (balanced
+          cells → better recall at the same nprobe).
+        """
+        if centroids == "kmeans":
+            self.centroids = self._kmeans_centroids(df)
+        else:
+            rows = (
+                df.orderBy(self.id_col)
+                .limit(self.n_cells)
+                .select(F.col(self.emb_col).cast("array<double>").alias("c"))
+                .collect()
+            )
+            self.centroids = [list(r["c"]) for r in rows]
         # nearest-centroid id per vector: greatest cosine, one pass —
         # built as a single SQL expr over a literal centroid matrix
         cell = self._argmax_cell_expr()
         self.assigned = df.withColumn("_cell", cell)
         return self.assigned
+
+    def _kmeans_centroids(self, df: DataFrame) -> list[list[float]]:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feats = df.select(
+            array_to_vector(
+                F.col(self.emb_col).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(
+            k=self.n_cells, seed=13, maxIter=10,
+            distanceMeasure="cosine",
+        ).fit(feats)
+        return [list(map(float, c)) for c in model.clusterCenters()]
 
     def _argmax_cell_expr(self):
         # similarities are ROUNDED to 6 dp before the argmax and ties
@@ -133,6 +157,53 @@ class IvfIndex:
         if exclude_id is not None:
             out = out.filter(F.col(self.id_col) != exclude_id)
         return out
+
+
+def _cos_cols_sql(a: str, b: str) -> str:
+    """Column-vs-column cosine (both cast to double), builtin HOFs."""
+    ca, cb = f"CAST({a} AS ARRAY<DOUBLE>)", f"CAST({b} AS ARRAY<DOUBLE>)"
+    return (
+        f"aggregate(zip_with({ca}, {cb}, (x, y) -> x * y), 0.0D, "
+        "(acc, v) -> acc + v) / "
+        f"(sqrt(aggregate({ca}, 0.0D, (acc, v) -> acc + v * v)) * "
+        f"sqrt(aggregate({cb}, 0.0D, (acc, v) -> acc + v * v)))"
+    )
+
+
+def embedding_neardups_ivf(df: DataFrame, threshold: float = 0.5,
+                           n_cells: int = 16,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           centroids: str = "kmeans") -> DataFrame:
+    """Embedding-cosine near-dup pairs, cell-bounded (VERDICT r01 #3:
+    the composed API a user reaches for must never be a cartesian
+    product).  Vectors are assigned to IVF cells; candidate pairs come
+    from a self-equi-join ON the cell id — at scale the cell is the
+    partition column, so each join task touches one cell's vectors.
+
+    Recall caveat (standard IVF tradeoff, documented): a near-dup pair
+    straddling a cell boundary is missed; raise n_cells' inverse or
+    post-probe neighboring cells when boundary recall matters.  True
+    near-dups (cos → 1) land in the same cell for any reasonable
+    quantizer.
+    """
+    idx = IvfIndex(n_cells=n_cells, nprobe=1,
+                   id_col=id_col, emb_col=emb_col)
+    asg = idx.build(df, centroids=centroids).select(
+        id_col, emb_col, "_cell"
+    )
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = F.expr(_cos_cols_sql(f"a.{emb_col}", f"b.{emb_col}"))
+    return (
+        a.join(b, F.col("a._cell") == F.col("b._cell"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 3).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 # --------------------------------------------------------------- simhash

@@ -42,6 +42,20 @@ CHANGELOG_DDL = (
     "lang string, content string, payload string, ts timestamp"
 )
 
+def decode_kafka_values(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka-shaped relation (binary ``value`` column holding
+    a JSON change event) into typed changelog columns.
+
+    Standalone so it unit-tests without a broker: the projection is
+    identical for a readStream(kafka) source and a constructed batch
+    DataFrame.  Malformed JSON yields NULL fields (from_json's PERMISSIVE
+    default), which the quarantine validity predicate then dead-letters
+    — a poison Kafka message cannot crash or pollute an epoch."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), CHANGELOG_DDL).alias("e")
+    ).select("e.*")
+
+
 def _valid_expr():
     """Per-record quarantine predicate (W3 analog: the reference tracks
     per-document BulkInsertFailure, traits.rs:27-37; we validate BEFORE
@@ -352,7 +366,9 @@ class ReplayRunner:
         JSON values carry the change-event schema.  Same downstream
         pipeline as the file stream.  Requires the
         spark-sql-kafka package on the cluster (not shipped in this
-        sandbox — no network; untestable here, shape kept explicit)."""
+        sandbox — no network; the broker read is untestable here, but
+        the value-decoding projection is a standalone function with a
+        broker-free unit test, test_streaming.py)."""
         raw = (
             self.spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -360,9 +376,7 @@ class ReplayRunner:
             .option("startingOffsets", "earliest")
             .load()
         )
-        return raw.select(
-            F.from_json(F.col("value").cast("string"), CHANGELOG_DDL).alias("e")
-        ).select("e.*")
+        return decode_kafka_values(raw)
 
     def run_streaming(
         self,

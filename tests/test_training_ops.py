@@ -201,6 +201,71 @@ def test_ivf_prunes_cells(spark, emb):
     assert cand.count() < emb.count()
 
 
+def test_ivf_kmeans_recall(spark, emb):
+    """VERDICT r01 #10: k-means|| centroids (cosine distance, fixed
+    seed → deterministic) — average top-10 recall vs brute force over
+    10 spread queries ≥ 0.9 at nprobe=6/8 (measured 0.91, min 0.8;
+    the sf embeddings are near-uniform, so recall tracks the probe
+    fraction — on clustered production embeddings k-means does
+    strictly better at the same nprobe)."""
+    qids = [3, 7, 11, 42, 99, 150, 222, 310, 404, 480]
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    idx = IvfIndex(n_cells=8, nprobe=6)
+    idx.build(emb, centroids="kmeans")
+    recalls = []
+    for qid in qids:
+        exact = {r["vec_id"]
+                 for r in brute_force_topk(emb, vecs[qid], k=10).collect()}
+        approx = {r["vec_id"] for r in idx.search(vecs[qid], k=10).collect()}
+        recalls.append(len(exact & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.9, f"kmeans avg recall {avg} ({recalls})"
+    assert min(recalls) >= 0.7, recalls
+
+
+def test_embedding_neardups_ivf_no_cartesian(spark, emb):
+    """The composed near-dup API must be cell-bounded: every pair it
+    returns is a true pair (subset of brute force at the same
+    threshold), same-cell true pairs are found, and the physical plan
+    contains NO cartesian/nested-loop join."""
+    from atlas_spark.operators.similarity import embedding_neardups_ivf
+
+    small = emb.filter(F.col("vec_id") < 120)
+    got = embedding_neardups_ivf(
+        small, threshold=0.5, n_cells=4, centroids="kmeans"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in got.collect()}
+    # soundness: subset of the brute-force pair set, values identical
+    a = small.select(F.col("vec_id").alias("id_a"),
+                     F.col("embedding").cast("array<double>").alias("ea"))
+    b = small.select(F.col("vec_id").alias("id_b"),
+                     F.col("embedding").cast("array<double>").alias("eb"))
+    dot = F.expr("aggregate(zip_with(ea, eb, (x,y) -> x*y), 0.0D, (a,v) -> a+v)")
+    na = F.expr("sqrt(aggregate(ea, 0.0D, (a,v) -> a+v*v))")
+    nb = F.expr("sqrt(aggregate(eb, 0.0D, (a,v) -> a+v*v))")
+    brute = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(dot / (na * nb), 3))
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("id_a", "id_b", "cos_sim").collect()
+    }
+    assert set(pairs) <= set(brute)
+    for k, v in pairs.items():
+        assert brute[k] == v
+    # completeness within cells: found a meaningful fraction of all
+    # true pairs (boundary-straddling pairs are the documented miss)
+    if brute:
+        assert len(pairs) / len(brute) >= 0.5, (len(pairs), len(brute))
+
+
 def test_resize_media(spark, docs):
     from atlas_spark.operators.multimodal import resize_media
 
