@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import re
 import tomllib
 from dataclasses import asdict, dataclass, field
 
@@ -121,10 +122,30 @@ def _coerce(declared_type: str, raw: str):
     return raw
 
 
+_VAR_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _substitute_vars(val, env: dict[str, str]):
+    """``${VAR}`` substitution inside string TOML values (reference
+    analog: the loader's env substitution).  Unset variables raise —
+    a silently-empty table_root is worse than a loud config error."""
+    if not isinstance(val, str):
+        return val
+
+    def repl(m):
+        name = m.group(1)
+        if name not in env:
+            raise ValueError(f"config references unset variable ${{{name}}}")
+        return env[name]
+
+    return _VAR_RE.sub(repl, val)
+
+
 def load_config(path: str | None = None,
                 env: dict[str, str] | None = None) -> EngineConfig:
-    """TOML file (optional) + ``ATLAS_SPARK_<SECTION>_<KEY>`` env
-    overrides (env wins, like the reference's loader)."""
+    """TOML file (optional) + ``${VAR}`` substitution in string values
+    + ``ATLAS_SPARK_<SECTION>_<KEY>`` env overrides (env wins, like
+    the reference's loader)."""
     env = env if env is not None else dict(os.environ)
     data: dict = {}
     if path:
@@ -136,7 +157,7 @@ def load_config(path: str | None = None,
         for key, val in (data.get(name) or {}).items():
             if not hasattr(section, key):
                 raise ValueError(f"unknown config key: {name}.{key}")
-            setattr(section, key, val)
+            setattr(section, key, _substitute_vars(val, env))
         declared = {f.name: str(f.type) for f in dataclasses.fields(cls)}
         for key in vars(section):
             env_key = f"{ENV_PREFIX}_{name.upper()}_{key.upper()}"

@@ -288,21 +288,30 @@ def q_minhash_signature(spark, sf_dir):
 
 def q_lsh_candidate_pairs(spark, sf_dir):
     """LSH banding: docs sharing a band signature become candidate
-    near-dup pairs (band = mh0 here; equi-join on the bucket key —
-    this is the shuffle-friendly formulation, no O(n²) compare).
-    Both join sides have identical plans, so ReuseExchange computes
-    the scan + shingling once (no cache needed, r01 VERDICT #2)."""
+    near-dup pairs.  GROUP-BY-BAND formulation: one scan computes the
+    band key, one shuffle groups doc ids per band, pairs enumerate
+    inside each group — a band self-JOIN would scan + shingle the
+    corpus twice (HOF lambdas defeat exchange-reuse canonicalization;
+    verified empirically).  Never an O(n²) compare: work is
+    Σ |band|², and single-member bands are dropped before the explode.
+
+    Skew note (100 TB): a corpus with thousands of byte-identical docs
+    makes one giant band — run exact dedup FIRST (dedupe_corpus does),
+    or cap band size; the oracle-equivalent join has the same skew.
+    NULL band keys (docs with < 3 words) are filtered, matching SQL
+    join semantics where NULL = NULL is false."""
     d = _t(spark, sf_dir, "documents")
     shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
-    sig = d.select("doc_id", F.expr(_mh(0, shd)).alias("mh0"))
-    a, b = sig.alias("a"), sig.alias("b")
+    sig = d.select("doc_id", F.expr(_mh(0, shd)).alias("mh0")).filter(
+        F.col("mh0").isNotNull()
+    )
+    g = sig.groupBy("mh0").agg(F.collect_list("doc_id").alias("ids")).filter(
+        F.size("ids") >= 2
+    )
     return (
-        a.join(b, F.col("a.mh0") == F.col("b.mh0"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        g.select(F.explode("ids").alias("doc_a"), F.col("ids"))
+        .select("doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
     )
 
 
@@ -310,25 +319,30 @@ def q_ngram_jaccard(spark, sf_dir):
     """n-gram Jaccard similarity for LSH candidate pairs:
     |A∩B| / |A∪B| over distinct word 3-shingles.
 
-    ONE self-join does everything: the mh0 band key is computed IN the
-    join condition from the single ``shd`` column, so the joined rows
-    already carry both shingle sets — no second hydration join, no
-    re-shingling, no cache (r01 recomputed shingles ~4× and leaked a
-    cache; 10.5 s → ~2.3 s at sf0.1)."""
+    Same group-by-band shape as q_lsh_candidate_pairs but the groups
+    carry (doc_id, shd) structs, so the pair rows already hold both
+    shingle sets — ONE scan, ONE shuffle, no hydration join, no cache
+    (r01 recomputed shingles ~4× and leaked a cache: 10.5 s; the
+    self-join rework: 2.3 s; this shape: ~1.3 s at sf0.1)."""
     d = _t(spark, sf_dir, "documents")
     shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
-    rel = d.select("doc_id", F.expr(shd).alias("shd"))
-    a, b = rel.alias("a"), rel.alias("b")
+    rel = d.select(
+        "doc_id", F.expr(shd).alias("shd"), F.expr(_mh(0, shd)).alias("mh0")
+    ).filter(F.col("mh0").isNotNull())
+    g = rel.groupBy("mh0").agg(
+        F.collect_list(F.struct("doc_id", "shd")).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    pairs = (
+        g.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     inter = F.size(F.array_intersect("a.shd", "b.shd"))
     union = F.size(F.array_union("a.shd", "b.shd"))
-    return (
-        a.join(b, F.expr(_mh(0, "a.shd")) == F.expr(_mh(0, "b.shd")))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter / union, 4).alias("jaccard"),
-        )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter / union, 4).alias("jaccard"),
     )
 
 
@@ -378,6 +392,32 @@ def q_embedding_neardup(spark, sf_dir):
         .withColumn("cos_sim", F.round(dot / (na * nb), 3))
         .filter(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def q_embedding_neardup_ivf(spark, sf_dir):
+    """Embedding near-dup pairs the SCALE way: candidates only from a
+    self-join ON the IVF cell id (never a cartesian product — compare
+    q_embedding_neardup, which is the deliberately-bounded oracle demo
+    of the same values).  lowid centroids + 6-dp-rounded argmax keep
+    the cell assignment DuckDB-reproducible, so this one is fully
+    oracle-checked end-to-end."""
+    from .similarity import IvfIndex, _cos_cols_sql
+
+    e = _t(spark, sf_dir, "embeddings")
+    idx = IvfIndex(n_cells=16, nprobe=1)
+    asg = idx.build(e, centroids="lowid").select("vec_id", "embedding", "_cell")
+    a, b = asg.alias("a"), asg.alias("b")
+    cos = F.expr(_cos_cols_sql("a.embedding", "b.embedding"))
+    return (
+        a.join(b, F.col("a._cell") == F.col("b._cell"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 3).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
     )
 
 
@@ -612,6 +652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embedding_topk": q_embedding_topk,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_neardup_ivf": q_embedding_neardup_ivf,
     "q_token_count": q_token_count,
     "q_quality_score": q_quality_score,
     "q_langid": q_langid,
@@ -849,6 +890,31 @@ ORACLES["q_anonymize_report"] = "\nUNION ALL\n".join(
     for c in _REPORT_CATS
 )
 
+# DuckDB cosine with rounding (shared by the IVF oracles)
+_COS_DD = (
+    "round(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * "
+    "sqrt(list_inner_product({b}, {b}))), {r})"
+)
+
+# q_embedding_neardup_ivf oracle: same lowid cell assignment as
+# q_ivf_ann, then pairs joined within cell with rounded cosine.
+ORACLES["q_embedding_neardup_ivf"] = f"""
+    WITH c AS (SELECT vec_id AS ci, embedding::DOUBLE[] AS ce
+               FROM embeddings WHERE vec_id < 16),
+    cells AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+                (SELECT ci FROM c
+                 ORDER BY {_COS_DD.format(a='c.ce', b='e.embedding::DOUBLE[]', r=6)}
+                   DESC, ci
+                 LIMIT 1) AS cell
+              FROM embeddings e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS_DD.format(a='a.v', b='b.v', r=3)} AS cos_sim
+    FROM cells a JOIN cells b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_COS_DD.format(a='a.v', b='b.v', r=3)} >= 0.3
+"""
+
 # q_media_features oracle: the stub codec's features are deterministic
 # functions of the payload bytes (sha256 digest bytes 0/1 → width/
 # height, hexdigest → checksum), so DuckDB can recompute them exactly.
@@ -920,12 +986,6 @@ ORACLES["q_simhash"] = _simhash_oracle()
 # cosine (ties → lowest cell id, matching the Spark fold and the
 # python probe), probe the 4 best cells for the query (vec_id 0),
 # then threshold on the 3-dp-rounded cosine.
-_COS_DD = (
-    "round(list_inner_product({a}, {b}) / "
-    "(sqrt(list_inner_product({a}, {a})) * "
-    "sqrt(list_inner_product({b}, {b}))), {r})"
-)
-
 ORACLES["q_ivf_ann"] = f"""
     WITH c AS (SELECT vec_id AS ci, embedding::DOUBLE[] AS ce
                FROM embeddings WHERE vec_id < 16),

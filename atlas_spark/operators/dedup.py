@@ -44,9 +44,13 @@ def near_dups(df: DataFrame, id_col: str = "doc_id",
     # ONE bound expression per row computes the distinct shingles and
     # every band's minhash (split/shingling evaluated once — see the
     # _SHINGLE_EXPR binding note in catalog.py); bands are EXPLODED to
-    # rows so all n_bands buckets join in a single self-join on _band.
-    # Both join sides share an identical plan → ReuseExchange computes
-    # the scan + shingling once; no cache (r01 leaked one here).
+    # rows and docs GROUPED per (band_index, band_value), so the whole
+    # candidate generation is one scan + one shuffle — a band self-join
+    # would scan and re-shingle the corpus twice (HOF lambdas defeat
+    # exchange-reuse canonicalization; measured in catalog.py), and
+    # r01's version additionally leaked a cache.  Work per group is
+    # |band|²; run exact_dups first (dedupe_corpus does) so identical
+    # texts collapse before they can form a mega-band.
     mh_arr = "array(" + ", ".join(_mh(b) for b in range(n_bands)) + ")"
     bound = (
         "element_at(transform(array(array_distinct("
@@ -59,19 +63,18 @@ def near_dups(df: DataFrame, id_col: str = "doc_id",
     ).select(
         "_id", F.col("_s.shd").alias("_shd"),
         F.posexplode(F.col("_s.bands")).alias("_bandpos", "_band"),
-    )
-    a_side = sig.select(
-        F.col("_id").alias("id_a"), F.col("_shd").alias("sh_a"),
-        "_bandpos", "_band",
-    )
-    b_side = sig.select(
-        F.col("_id").alias("id_b"), F.col("_shd").alias("sh_b"),
-        "_bandpos", "_band",
-    )
+    ).filter(F.col("_band").isNotNull())
+    grouped = sig.groupBy("_bandpos", "_band").agg(
+        F.collect_list(F.struct("_id", "_shd")).alias("_ds")
+    ).filter(F.size("_ds") >= 2)
     pairs = (
-        a_side.join(b_side, ["_bandpos", "_band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        grouped.select(F.explode("_ds").alias("_a"), F.col("_ds"))
+        .select("_a", F.explode("_ds").alias("_b"))
+        .filter(F.col("_a._id") < F.col("_b._id"))
+        .select(
+            F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"),
+            F.col("_a._shd").alias("sh_a"), F.col("_b._shd").alias("sh_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -268,13 +268,17 @@ class LakehouseSink(Sink):
         ).withColumn("_bucket", self._bucket_expr())
         # cache, not checkpoint: the stats agg below populates it as a
         # side effect (no dedicated materialization job), and the write
-        # + broadcast joins reuse it
-        batchw = batchw.cache()
+        # + broadcast joins reuse it.  Keep the HANDLE to the exact
+        # cached DataFrame: unpersist() releases only the plan it is
+        # called on, so unpersisting a derived (post-drop) frame is a
+        # silent no-op — the r01 leak behind the per-epoch CacheManager
+        # "already cached" warnings and slowly-growing storage memory.
+        batchw_cached = batchw.cache()
 
         # one small agg yields touched buckets, per-bucket watermark,
         # per-bucket row counts, delete counts AND the raw input count
         # (sum of group counts over the winners) all at once
-        bucket_stats = batchw.groupBy("_bucket").agg(
+        bucket_stats = batchw_cached.groupBy("_bucket").agg(
             F.max("seq").alias("max_seq"),
             F.count("*").alias("cnt"),
             F.sum(F.col("is_deleted").cast("long")).alias("dels"),
@@ -283,10 +287,11 @@ class LakehouseSink(Sink):
         ).collect()
         rows_in = int(sum(r["raw"] for r in bucket_stats))
         n_versions = int(sum(r["nver"] for r in bucket_stats))
-        batchw = batchw.drop("_grp_cnt", "_nver")
+        batchw = batchw_cached.drop("_grp_cnt", "_nver")
         n_batch = sum(r["cnt"] for r in bucket_stats)
         n_deletes = sum(r["dels"] for r in bucket_stats)
         if n_batch == 0:
+            batchw_cached.unpersist()
             res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
             res.update(
                 rows_in=0, upserts=0, duplicates_skipped=0,
@@ -337,7 +342,7 @@ class LakehouseSink(Sink):
             out = batchw
 
         new_files, _ = self._write_buckets(out, epoch_id)
-        batchw.unpersist()
+        batchw_cached.unpersist()
 
         # cumulative per-bucket watermarks (atlas watermark analog,
         # core/export/batch.rs:337-343 — but true max(seq), not

@@ -65,6 +65,21 @@ def test_env_coerce_none_default_fields(tmp_path):
     assert cfg.validate() == []  # no TypeError from '64' comparison
 
 
+def test_var_substitution(tmp_path):
+    """${VAR} substitution in string TOML values; unset vars raise."""
+    p = tmp_path / "cfg.toml"
+    p.write_text(
+        '[source]\nchangelog_dir = "${DATA_ROOT}/log"\n'
+        '[sink]\ntable_root = "${DATA_ROOT}/table"\nn_buckets = 8\n'
+    )
+    cfg = load_config(str(p), env={"DATA_ROOT": "/mnt/lake"})
+    assert cfg.source.changelog_dir == "/mnt/lake/log"
+    assert cfg.sink.table_root == "/mnt/lake/table"
+    assert cfg.sink.n_buckets == 8  # non-strings untouched
+    with pytest.raises(ValueError, match=r"unset variable \$\{DATA_ROOT\}"):
+        load_config(str(p), env={})
+
+
 def test_unknown_key_rejected(tmp_path):
     p = tmp_path / "bad.toml"
     p.write_text("[source]\nbogus = 1\n")

@@ -90,6 +90,72 @@ def main() -> None:
         plan(final),
     ))
 
+    # near-dup pipeline: GROUP-BY-BAND, one scan + one shuffle.
+    # (A band self-JOIN was tried first: HOF lambda expressions defeat
+    # exchange-reuse canonicalization, so both sides re-scanned and
+    # re-shingled -- verified empirically with the executed AQE plan.)
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(100)],
+        "doc_id int, text string",
+    )
+    from atlas_spark.operators.catalog import _SHINGLE_EXPR, _mh
+    shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
+    rel = docs.select(
+        "doc_id", F.expr(shd).alias("shd"), F.expr(_mh(0, shd)).alias("mh0")
+    ).filter(F.col("mh0").isNotNull())
+    g = rel.groupBy("mh0").agg(
+        F.collect_list(F.struct("doc_id", "shd")).alias("ds")
+    ).filter(F.size("ds") >= 2)
+    pairs = (
+        g.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    jac = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(
+            F.size(F.array_intersect("a.shd", "b.shd"))
+            / F.size(F.array_union("a.shd", "b.shd")), 4
+        ).alias("jaccard"),
+    )
+    sections.append((
+        "LSH near-dup: group-by-band, ONE scan + ONE shuffle",
+        "The corpus is scanned once (shingles + band key in one "
+        "projection), shuffled once to group per band, and candidate "
+        "pairs explode inside each group carrying both shingle sets "
+        "-- no hydration join, no cache. r01 cached + re-shingled ~4x "
+        "(10.5 s at sf0.1); a band self-join still re-scanned both "
+        "sides because HOF lambdas defeat exchange-reuse (2.3 s); this "
+        "shape measures ~1.3 s. Work is bounded by sum(|band|^2); run "
+        "exact dedup first so identical docs can't form a mega-band.",
+        plan(jac),
+    ))
+
+    # verification: one full-outer join + one aggregation pass
+    from atlas_spark.verification import _joined
+    actual = df.select("repo", "path",
+                       F.sha2("content", 256).alias("content_sha256"))
+    expect = df.select("repo", "path",
+                       F.sha2("content", 256).alias("content_sha256"))
+    j = _joined(actual, expect)
+    counts = j.agg(
+        F.count(F.col("_e_sha")).alias("expected_rows"),
+        F.count(F.col("_a_sha")).alias("actual_rows"),
+        F.count_if(F.col("reason") == "missing").alias("missing"),
+        F.count_if(F.col("reason") == "unexpected").alias("unexpected"),
+        F.count_if(F.col("reason") == "hash_mismatch").alias("hash_mismatch"),
+    )
+    sections.append((
+        "Verification: ONE join + ONE aggregation for all 5 counters",
+        "r01 ran 2 anti-joins + 1 inner join + 2 counts (5 jobs / 5 "
+        "shuffles over the table). Now a single full-outer join on the "
+        "key feeds a single HashAggregate computing every counter; the "
+        "failing-key detail relation filters the same join (exchange "
+        "reuse when both execute). At 10^8 rows: one shuffle, not five.",
+        plan(counts),
+    ))
+
     md = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     for title, why, p in sections:
         md.append(f"## {title}\n\n{why}\n\n```\n{p}\n```\n")
