@@ -180,9 +180,20 @@ def cmd_verify(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    drop = bool(getattr(args, "drop_tombstones", False))
+    if drop and not getattr(args, "yes", False):
+        # destructive-path confirm (reference export.rs:147-172 analog):
+        # dropping tombstones mid-stream lets a late smaller-seq upsert
+        # resurrect a deleted key — demand an explicit --yes
+        print(
+            "refusing: --drop-tombstones permanently removes delete "
+            "markers; safe ONLY after the changelog is fully consumed. "
+            "Re-run with --yes to confirm.",
+        )
+        return 2
     cfg = load_config(args.config)
     spark, sink, _, _ = _build(cfg)
-    res = sink.compact()
+    res = sink.compact(drop_tombstones=drop)
     print(f"compacted: {res}")
     spark.stop()
     return 0
@@ -199,6 +210,12 @@ def main(argv=None) -> int:
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-c", "--config", required=(name != "init"))
+        if name == "compact":
+            sp.add_argument("--drop-tombstones", action="store_true",
+                            help="physically remove delete markers "
+                                 "(end-of-replay ONLY; requires --yes)")
+            sp.add_argument("--yes", action="store_true",
+                            help="confirm the destructive path")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("init")
     sp.add_argument("-o", "--output", default="atlas_spark.toml")

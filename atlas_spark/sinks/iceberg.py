@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import Sink
+from .retry import with_retries
 
 
 def is_available(spark: SparkSession) -> bool:
@@ -108,17 +109,22 @@ class IcebergSink(Sink):
         # LWW guard: only newer-or-equal seq may touch a row; tombstones
         # are UPDATEs (is_deleted=true), physically removed by periodic
         # compaction — identical semantics to LakehouseSink.merge.
-        self.spark.sql(
+        # with_retries: Iceberg optimistic commits throw transient
+        # CommitFailedException under concurrent writers, and catalog /
+        # object-store calls fail transiently; re-running this MERGE is
+        # idempotent (the guard re-applies identical values), so bounded
+        # retry beats aborting the epoch (bulk.rs:144-185 analog).
+        with_retries(lambda: self.spark.sql(
             f"""MERGE INTO {self.table} t
                 USING _atlas_batch s
                 ON t.repo = s.repo AND t.path = s.path
                 WHEN MATCHED AND s.seq >= t.seq THEN UPDATE SET {set_clause}
                 WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"""
-        )
-        self.spark.sql(
+        ), label=f"iceberg merge epoch {epoch_id}")
+        with_retries(lambda: self.spark.sql(
             f"INSERT INTO {self.txn_table} "
             f"VALUES ({epoch_id}, current_timestamp())"
-        )
+        ), label=f"iceberg txn append epoch {epoch_id}")
         return {"epoch_id": epoch_id, "skipped": False}
 
     def read(self) -> DataFrame:
