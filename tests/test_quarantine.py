@@ -70,6 +70,10 @@ def test_null_op_row_is_quarantined_not_silently_dropped(spark, tmp_path):
     assert s.rows_in == 198
     rej = spark.read.parquet(rejects_dir)
     assert rej.count() == 2
+    # dead-letter rows carry the failure taxonomy (BulkInsertFailure
+    # error-detail analog)
+    reasons = {r["_reason"] for r in rej.select("_reason").collect()}
+    assert reasons == {"bad_op", "null_seq"}
     # and the table state matches the fold over the 198 good rows
     from atlas_spark.changelog.oracle import expected_state_pdf
     good = changelog.drop(index=[7, 11])
