@@ -92,7 +92,10 @@ def ensure_changelog(n_events: int, n_files: int = 64) -> str:
         per = n_events // n_chunks
         fper = max(1, n_files // n_chunks)
         jobs = [(c, per, fper, out) for c in range(n_chunks)]
-        with mp.Pool(min(n_chunks, 4)) as pool:
+        # 2 workers: a 16M-row pandas chunk peaks ~20 GB; 4 concurrent
+        # chunks OOM-killed a worker on the 128 GB box (and a killed
+        # Pool worker hangs map() forever — classic footgun)
+        with mp.Pool(min(n_chunks, 2)) as pool:
             counts = pool.map(_gen_chunk, jobs)
         total = sum(counts)
     else:
