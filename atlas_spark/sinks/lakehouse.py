@@ -91,6 +91,7 @@ class LakehouseSink(Sink):
         n_buckets: int = 16,
         broadcast_key_limit: int = 2_000_000,
         mode: str = "cow",
+        exact_duplicate_metrics: bool = False,
     ):
         """``mode``:
 
@@ -106,6 +107,7 @@ class LakehouseSink(Sink):
         Semantics are identical — the same oracle replays pass in both.
         """
         assert mode in ("cow", "mor")
+        self.exact_duplicate_metrics = exact_duplicate_metrics
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
@@ -228,37 +230,151 @@ class LakehouseSink(Sink):
 
         fields = self._unified_schema(m["schema"], batch_df)
 
-        # in-batch LWW via ONE hash aggregation (max_by), not a window:
-        # partial aggregation combines map-side, so each input partition
-        # ships at most ONE full-width winner candidate per key through
-        # the exchange, and nothing is sorted.  The r01 window variant
-        # computed _grp_cnt/_nver as unbounded window functions BEFORE
-        # the rank filter, which blocked WindowGroupLimit and shipped
-        # EVERY raw event (content included) through the shuffle plus a
-        # per-key sort — measured 20-40% slower per epoch at sf-bench
-        # scale, worse at 10^10 events where the batch:winners ratio
-        # grows.  Tie-break parity: ordering key (seq, op_pref) matches
-        # the old (seq DESC, op ASC) — D beats I beats U on equal seq;
-        # rows identical beyond that are byte-equal duplicates, so any
-        # pick yields the same output bytes.
+        # ---------------- in-batch LWW: winners-first, content never
+        # rides a shuffle on the common path.
+        #
+        # Phase 1 (NARROW election): aggregate only (repo, path, seq,
+        # op_pref) — ~30 bytes/row with map-side combine — to find each
+        # key's winning (seq, op_pref) plus the delivery stats.  The
+        # content column never enters this exchange.
+        # Phase 2 (fetch): broadcast the winner keys and hash-join the
+        # raw batch against them map-side — a column-pruned rescan of
+        # the (page-cached / columnar) source, zero shuffle.
+        # Phase 3: dropDuplicates(key) collapses byte-identical
+        # duplicate deliveries of the winning event; its exchange hash-
+        # partitions on the key, which doubles as the bucket alignment
+        # for the write (pmod(hash(key), n) == Spark HashPartitioning).
+        #
+        # Why: the r01 window shape shipped EVERY raw event full-width
+        # through the shuffle (unbounded stats windows block
+        # WindowGroupLimit); even max_by's map-side combine still
+        # shuffles one full row per key per map partition.  At the
+        # 64M-event bench the full-width shuffle put both local[8] and
+        # local[32] on the same disk-bandwidth floor (scaling eff 0.40);
+        # winners-first shuffles ~1-2% of the bytes.
+        #
+        # Fallback: if the batch has more keys than broadcast_key_limit
+        # (bulk load), use the single-shuffle max_by shape instead —
+        # same results, no driver-side broadcast risk.
+        # Ordering parity with r01's window (seq DESC, op ASC): op_pref
+        # D=2 > I=1 > U=0; rows identical beyond (seq, op) are
+        # byte-equal duplicates, so any pick yields the same bytes.
         op_pref = (
             F.when(F.col("op") == "D", F.lit(2))
             .when(F.col("op") == "I", F.lit(1))
             .otherwise(F.lit(0))
         )
-        vcols = [c for c in batch_df.columns if c not in KEY_COLS]
-        aggd = batch_df.groupBy(*KEY_COLS).agg(
-            F.max_by(
-                F.struct(*vcols), F.struct(F.col("seq"), op_pref.alias("_p"))
-            ).alias("_w"),
-            # rows − distinct versions = true duplicate deliveries
-            # (same key AND seq twice); versions − 1 = rows superseded
-            # by newer in-batch events.  Same aggregation pass.
-            F.count("*").alias("_grp_cnt"),
-            F.size(F.collect_set("seq")).alias("_nver"),
+        win_plan = (
+            batch_df.select(
+                *KEY_COLS, "seq", op_pref.alias("_p"),
+                self._bucket_expr().alias("_bucket"),
+            )
+            .groupBy(*KEY_COLS, "_bucket")  # _bucket is key-functional
+            .agg(
+                F.max(F.struct(F.col("seq"), F.col("_p"))).alias("_wk"),
+                # rows − distinct versions = true duplicate deliveries
+                # (same key AND seq twice); versions − 1 = rows
+                # superseded by newer in-batch events.
+                F.count("*").alias("_grp_cnt"),
+                # Exact distinct-version counting (the true-redelivery
+                # vs superseded metric split) requires EVERY distinct
+                # (key, seq) pair to cross one shuffle — countDistinct's
+                # Expand made the "narrow" election shuffle 714 MB at
+                # the 64M bench, ~40% of epoch cost, for an
+                # observability-only number (LWW is idempotent to
+                # duplicates either way).  Off by default: _nver falls
+                # back to the row count, duplicates_skipped reads 0 and
+                # re-deliveries lump into superseded_in_batch.
+                (
+                    F.countDistinct("seq")
+                    if self.exact_duplicate_metrics
+                    else F.count("*")
+                ).alias("_nver"),
+            )
+            .select(
+                *KEY_COLS, "_bucket",
+                F.col("_wk.seq").alias("_wseq"),
+                F.col("_wk._p").alias("_wp"),
+                "_grp_cnt", "_nver",
+            )
         )
+        # ONE narrow job collects the winners to the driver (Arrow).
+        # This is the same data movement a broadcast join performs
+        # internally — done once, then reused for (a) the fetch join's
+        # build side, (b) the existing-side key broadcasts, and (c)
+        # every batch statistic, computed here in pandas at O(keys).
+        # Caching the agg instead costs 5× (cached plans compile
+        # without AQE — measured 1.3 s → 6.8 s); recomputing it per
+        # consumer costs 4×.  limit+1 detects the bulk case without a
+        # separate count job.
+        _t_phase = time.monotonic()
+        win_pdf = win_plan.limit(self.broadcast_key_limit + 1).toPandas()
+        phase_ms = {"win_elect": int((time.monotonic() - _t_phase) * 1000)}
+        small = len(win_pdf) <= self.broadcast_key_limit
+        if small:
+            # keys whose every event has a NULL seq can never match the
+            # fetch join; drop them here so driver stats agree with the
+            # fetched rows (quarantine rejects such rows upstream)
+            win_pdf = win_pdf[win_pdf["_wseq"].notna()]
+            n_keys = len(win_pdf)
+            rows_in = int(win_pdf["_grp_cnt"].sum())
+            n_versions = int(win_pdf["_nver"].sum())
+            n_batch = n_keys
+            n_deletes = int((win_pdf["_wp"] == 2).sum())
+            g = win_pdf.groupby("_bucket")
+            wm = {str(int(b)): int(v) for b, v in g["_wseq"].max().items()}
+            rows_per_bucket = {
+                str(int(b)): int(v) for b, v in g.size().items()
+            }
+            win_local = (
+                self.spark.createDataFrame(win_pdf)
+                if n_keys
+                else None
+            )
+        else:
+            # bulk load: winners exceed the driver/broadcast budget —
+            # recompute the stats distributed (one extra narrow job)
+            bs = win_plan.groupBy("_bucket").agg(
+                F.max("_wseq").alias("max_seq"),
+                F.count("*").alias("cnt"),
+                F.sum((F.col("_wp") == 2).cast("long")).alias("dels"),
+                F.sum("_grp_cnt").alias("raw"),
+                F.sum("_nver").alias("nver"),
+            ).collect()
+            rows_in = int(sum(r["raw"] for r in bs))
+            n_versions = int(sum(r["nver"] for r in bs))
+            n_batch = sum(r["cnt"] for r in bs)
+            n_deletes = sum(r["dels"] for r in bs)
+            wm = {str(r["_bucket"]): int(r["max_seq"]) for r in bs}
+            rows_per_bucket = {str(r["_bucket"]): int(r["cnt"]) for r in bs}
+            win_local = None
+
+        if small and win_local is not None:
+            b = batch_df.withColumn("_p", op_pref).alias("b")
+            wv = win_local.alias("w")
+            cond = (
+                (F.col("b.seq") == F.col("w._wseq"))
+                & (F.col("b._p") == F.col("w._wp"))
+            )
+            for k in KEY_COLS:
+                cond &= F.col(f"b.{k}") == F.col(f"w.{k}")
+            aggd = (
+                b.join(F.broadcast(wv), cond)
+                .select("b.*")
+                .drop("_p")
+                .dropDuplicates(KEY_COLS)
+            )
+        else:
+            # bulk shape: one full-width shuffle, map-side combine
+            vcols = [c for c in batch_df.columns if c not in KEY_COLS]
+            aggd = batch_df.groupBy(*KEY_COLS).agg(
+                F.max_by(
+                    F.struct(*vcols),
+                    F.struct(F.col("seq"), op_pref.alias("_p")),
+                ).alias("_w"),
+            ).select(*KEY_COLS, "_w.*")
         batchw = (
-            aggd.select(*KEY_COLS, "_w.*", "_grp_cnt", "_nver")
+            aggd
             .withColumn("is_deleted", F.col("op") == F.lit("D"))
             # tombstones carry key+seq only; payload nulled
             .withColumn("commit", F.when(F.col("is_deleted"), F.lit(None)).otherwise(F.col("commit")))
@@ -273,36 +389,10 @@ class LakehouseSink(Sink):
             .drop("op")
         )
         batchw = self._align(
-            batchw,
-            [tuple(x) for x in fields]
-            + [("_grp_cnt", "bigint"), ("_nver", "bigint")],
+            batchw, [tuple(x) for x in fields]
         ).withColumn("_bucket", self._bucket_expr())
-        # cache, not checkpoint: the stats agg below populates it as a
-        # side effect (no dedicated materialization job), and the write
-        # + broadcast joins reuse it.  Keep the HANDLE to the exact
-        # cached DataFrame: unpersist() releases only the plan it is
-        # called on, so unpersisting a derived (post-drop) frame is a
-        # silent no-op — the r01 leak behind the per-epoch CacheManager
-        # "already cached" warnings and slowly-growing storage memory.
-        batchw_cached = batchw.cache()
 
-        # one small agg yields touched buckets, per-bucket watermark,
-        # per-bucket row counts, delete counts AND the raw input count
-        # (sum of group counts over the winners) all at once
-        bucket_stats = batchw_cached.groupBy("_bucket").agg(
-            F.max("seq").alias("max_seq"),
-            F.count("*").alias("cnt"),
-            F.sum(F.col("is_deleted").cast("long")).alias("dels"),
-            F.sum("_grp_cnt").alias("raw"),
-            F.sum("_nver").alias("nver"),
-        ).collect()
-        rows_in = int(sum(r["raw"] for r in bucket_stats))
-        n_versions = int(sum(r["nver"] for r in bucket_stats))
-        batchw = batchw_cached.drop("_grp_cnt", "_nver")
-        n_batch = sum(r["cnt"] for r in bucket_stats)
-        n_deletes = sum(r["dels"] for r in bucket_stats)
         if n_batch == 0:
-            batchw_cached.unpersist()
             res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
             res.update(
                 rows_in=0, upserts=0, duplicates_skipped=0,
@@ -311,8 +401,7 @@ class LakehouseSink(Sink):
             )
             return res
 
-        touched = [r["_bucket"] for r in bucket_stats]
-        old_files = {str(b): m["files"].get(str(b), []) for b in touched}
+        old_files = {b: m["files"].get(b, []) for b in wm}
         have_existing = any(old_files.values()) and self.mode == "cow"
 
         if have_existing:
@@ -323,10 +412,11 @@ class LakehouseSink(Sink):
                 F.col("seq").desc(), F.col("_incoming").desc()
             )
             if n_batch <= self.broadcast_key_limit:
-                # normal micro-batch: broadcast the batch keys — the
-                # (huge) existing side is scanned but NEVER shuffled;
-                # only ≤2×|batch| rows enter the guard window
-                bkeys = batchw.select(*KEY_COLS)
+                # normal micro-batch: broadcast the batch keys (the
+                # driver-local winner relation) — the (huge) existing
+                # side is scanned but NEVER shuffled; only ≤2×|batch|
+                # rows enter the guard window
+                bkeys = win_local.select(*KEY_COLS)
                 hit = existing.join(F.broadcast(bkeys), KEY_COLS, "left_semi")
                 miss = existing.join(F.broadcast(bkeys), KEY_COLS, "left_anti")
                 resolved = (
@@ -352,15 +442,14 @@ class LakehouseSink(Sink):
         else:
             out = batchw
 
+        _t_phase = time.monotonic()
         new_files, _ = self._write_buckets(out, epoch_id)
-        batchw_cached.unpersist()
+        phase_ms["write"] = int((time.monotonic() - _t_phase) * 1000)
 
         # cumulative per-bucket watermarks (atlas watermark analog,
         # core/export/batch.rs:337-343 — but true max(seq), not
-        # positional-last, for out-of-order safety)
-        wm = {str(r["_bucket"]): int(r["max_seq"]) for r in bucket_stats}
-        rows_per_bucket = {str(r["_bucket"]): int(r["cnt"]) for r in bucket_stats}
-
+        # positional-last, for out-of-order safety) — already computed
+        # driver-side from the winner relation
         metrics = self._commit(m, new_files, wm, fields, epoch_id,
                                rows_in, n_deletes)
         metrics.update(
@@ -373,6 +462,7 @@ class LakehouseSink(Sink):
             bucket_watermarks=wm,
             rows_per_bucket=rows_per_bucket,
             duration_ms=int((time.monotonic() - t0) * 1000),
+            phase_ms=phase_ms,
         )
         return metrics
 

@@ -113,6 +113,43 @@ def test_duplicate_delivery_idempotent(spark, tmp_path):
     check_against_oracle(spark, sink, changelog)
 
 
+def test_exact_duplicate_metrics_flag(spark, tmp_path):
+    """exact_duplicate_metrics=True pays one distinct-pair shuffle and
+    splits true re-deliveries from superseded rows; the default lumps
+    them (observability-only — final state identical either way)."""
+    from atlas_spark.sinks import LakehouseSink
+    from atlas_spark.streaming.runner import prepare_batch, DEFAULT_RULES
+
+    spec = ChangelogSpec(
+        n_events=800, n_repos=6, paths_per_repo=15, duplicate_frac=0.10
+    )
+    changelog = generate_changelog(spec)
+    n_dups = int(changelog.duplicated(["repo", "path", "seq"]).sum())
+    assert n_dups > 0
+    df = spark.createDataFrame(changelog)
+
+    exact = LakehouseSink(spark, str(tmp_path / "t1"), n_buckets=4,
+                          exact_duplicate_metrics=True)
+    exact.ensure()
+    r1 = exact.merge(prepare_batch(df, DEFAULT_RULES), 0)
+    assert r1["duplicates_skipped"] == n_dups
+
+    lumped = LakehouseSink(spark, str(tmp_path / "t2"), n_buckets=4)
+    lumped.ensure()
+    r2 = lumped.merge(prepare_batch(df, DEFAULT_RULES), 0)
+    assert r2["duplicates_skipped"] == 0
+    assert (
+        r2["superseded_in_batch"]
+        == r1["superseded_in_batch"] + r1["duplicates_skipped"]
+    )
+    # same state bytes either way
+    a = exact.read().select("repo", "path", "content_sha256").toPandas()
+    b = lumped.read().select("repo", "path", "content_sha256").toPandas()
+    key = ["repo", "path"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
+
+
 def test_hot_key_skew_replay(spark, tmp_path):
     spec = ChangelogSpec(
         n_events=2000, n_repos=20, paths_per_repo=40, hot_repo_frac=0.30
