@@ -89,7 +89,7 @@ class LakehouseSink(Sink):
         spark: SparkSession,
         root: str,
         n_buckets: int = 16,
-        broadcast_key_limit: int = 2_000_000,
+        broadcast_key_limit: int | None = None,
         mode: str = "cow",
         exact_duplicate_metrics: bool = False,
     ):
@@ -111,6 +111,25 @@ class LakehouseSink(Sink):
         self.spark = spark
         self.root = root
         self.n_buckets = n_buckets
+        if broadcast_key_limit is None:
+            # Derive from the driver heap instead of a magic constant:
+            # the winner relation lives on the driver twice during the
+            # merge (the pandas frame + the broadcast's serialized
+            # build side) at a measured ~250 B/key for (repo, path)
+            # strings + ints + object overhead.  Budget 4% of the heap
+            # for it so the merge path can never become the driver's
+            # memory hazard: 16 g → ~2.7 M keys (~690 MB worst case),
+            # 4 g → ~690 k.  Floor 200 k keeps small drivers on the
+            # broadcast path; cap 4 M bounds broadcast-build time.
+            # Above the limit the single-shuffle bulk shape takes over
+            # with identical semantics (same total order, see below).
+            mem = spark.conf.get("spark.driver.memory", "2g").lower()
+            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+            mult = units.get(mem[-1], 1)
+            mem_bytes = int(float(mem[:-1] if mem[-1] in units else mem)) * mult
+            broadcast_key_limit = int(
+                min(4_000_000, max(200_000, mem_bytes * 0.04 / 250))
+            )
         self.broadcast_key_limit = broadcast_key_limit
         self.mode = mode
         self._manifest_dir = os.path.join(root, "_manifests")
@@ -297,6 +316,13 @@ class LakehouseSink(Sink):
                 F.col("_wk._p").alias("_wp"),
                 "_grp_cnt", "_nver",
             )
+            # keys whose EVERY event has a NULL seq can never satisfy
+            # the fetch join or the seq guard; dropping them inside the
+            # plan (not in pandas afterwards) keeps the small and bulk
+            # shapes byte-identical and keeps the bulk stats'
+            # int(max_seq) total.  Quarantine rejects such rows
+            # upstream; this is the merge's own belt-and-braces.
+            .filter(F.col("_wseq").isNotNull())
         )
         # ONE narrow job collects the winners to the driver (Arrow).
         # This is the same data movement a broadcast join performs
@@ -310,12 +336,16 @@ class LakehouseSink(Sink):
         _t_phase = time.monotonic()
         win_pdf = win_plan.limit(self.broadcast_key_limit + 1).toPandas()
         phase_ms = {"win_elect": int((time.monotonic() - _t_phase) * 1000)}
+        _t_phase = time.monotonic()
         small = len(win_pdf) <= self.broadcast_key_limit
         if small:
-            # keys whose every event has a NULL seq can never match the
-            # fetch join; drop them here so driver stats agree with the
-            # fetched rows (quarantine rejects such rows upstream)
-            win_pdf = win_pdf[win_pdf["_wseq"].notna()]
+            # Arrow→pandas can surface nullable bigints as float64 (and
+            # above 2^53 a float seq would make the fetch join compare
+            # bigint vs double — silently lossy).  The plan-side NULL
+            # filter guarantees no nulls remain, so pin the exact dtypes
+            # before the relation goes back through createDataFrame.
+            win_pdf["_wseq"] = win_pdf["_wseq"].astype("int64")
+            win_pdf["_wp"] = win_pdf["_wp"].astype("int32")
             n_keys = len(win_pdf)
             rows_in = int(win_pdf["_grp_cnt"].sum())
             n_versions = int(win_pdf["_nver"].sum())
@@ -348,6 +378,7 @@ class LakehouseSink(Sink):
             wm = {str(r["_bucket"]): int(r["max_seq"]) for r in bs}
             rows_per_bucket = {str(r["_bucket"]): int(r["cnt"]) for r in bs}
             win_local = None
+        phase_ms["stats_driver"] = int((time.monotonic() - _t_phase) * 1000)
 
         if small and win_local is not None:
             b = batch_df.withColumn("_p", op_pref).alias("b")
@@ -358,21 +389,47 @@ class LakehouseSink(Sink):
             )
             for k in KEY_COLS:
                 cond &= F.col(f"b.{k}") == F.col(f"w.{k}")
+            fetched = b.join(F.broadcast(wv), cond).select("b.*").drop("_p")
+            # Collapse duplicate deliveries of the winning event.  Rows
+            # tied on (key, seq, op) are normally byte-identical, but a
+            # malformed producer CAN emit differing payloads at the same
+            # (key, seq, op); a bare dropDuplicates pick would then be
+            # nondeterministic across replays (verify-hash roulette).
+            # min_by(commit) pins the r01 window's deterministic
+            # commit-ASC tiebreak.  Same exchange shape as
+            # dropDuplicates (hash-partition on key, map-side partial
+            # combine), so the bucket-alignment property is unchanged.
+            fcols = [c for c in fetched.columns if c not in KEY_COLS]
             aggd = (
-                b.join(F.broadcast(wv), cond)
-                .select("b.*")
-                .drop("_p")
-                .dropDuplicates(KEY_COLS)
+                fetched.groupBy(*KEY_COLS)
+                .agg(F.min_by(
+                    F.struct(*fcols),
+                    F.coalesce(F.col("commit"), F.lit("")),
+                ).alias("_w"))
+                .select(*KEY_COLS, "_w.*")
             )
         else:
-            # bulk shape: one full-width shuffle, map-side combine
+            # bulk shape: one full-width shuffle, map-side combine.
+            # min_by over (-seq, -op_pref, commit ASC) is the SAME total
+            # order as the small path: max seq, then max op_pref, then
+            # the deterministic commit-ASC tiebreak (max_by over
+            # (seq, _p) alone left ties partition-order dependent).
+            # NULL-seq rows are dropped for parity with win_plan's
+            # plan-side filter.
             vcols = [c for c in batch_df.columns if c not in KEY_COLS]
-            aggd = batch_df.groupBy(*KEY_COLS).agg(
-                F.max_by(
+            aggd = (
+                batch_df.filter(F.col("seq").isNotNull())
+                .groupBy(*KEY_COLS)
+                .agg(F.min_by(
                     F.struct(*vcols),
-                    F.struct(F.col("seq"), op_pref.alias("_p")),
-                ).alias("_w"),
-            ).select(*KEY_COLS, "_w.*")
+                    F.struct(
+                        (-F.col("seq")).alias("s"),
+                        (-op_pref).alias("p"),
+                        F.coalesce(F.col("commit"), F.lit("")).alias("c"),
+                    ),
+                ).alias("_w"))
+                .select(*KEY_COLS, "_w.*")
+            )
         batchw = (
             aggd
             .withColumn("is_deleted", F.col("op") == F.lit("D"))
@@ -450,9 +507,12 @@ class LakehouseSink(Sink):
         # core/export/batch.rs:337-343 — but true max(seq), not
         # positional-last, for out-of-order safety) — already computed
         # driver-side from the winner relation
+        _t_phase = time.monotonic()
         metrics = self._commit(m, new_files, wm, fields, epoch_id,
                                rows_in, n_deletes)
+        phase_ms["commit"] = int((time.monotonic() - _t_phase) * 1000)
         metrics.update(
+            merge_path="broadcast" if small else "bulk",
             rows_in=rows_in,
             upserts=n_batch - n_deletes,
             # true re-deliveries (same key+seq seen twice); rows merely

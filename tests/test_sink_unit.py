@@ -192,3 +192,63 @@ def test_time_travel_read(spark, tmp_path):
     assert sink.read().collect()[0]["commit"] == "c2"
     old = sink.read(version=v1).collect()
     assert len(old) == 1 and old[0]["commit"] == "c1"
+
+
+def test_bulk_fallback_engages_and_matches(spark, tmp_path):
+    """Above broadcast_key_limit the merge must switch to the bulk
+    single-shuffle shape with IDENTICAL semantics (same winners, same
+    watermarks) — and report which path it took."""
+    rows = []
+    for i in range(40):
+        rows.append([i * 10 + 1, "I", f"r{i % 4}", f"p{i}", f"c{i}a", "py", f"v{i}a"])
+        rows.append([i * 10 + 2, "U", f"r{i % 4}", f"p{i}", f"c{i}b", "py", f"v{i}b"])
+    small = LakehouseSink(spark, str(tmp_path / "small"), n_buckets=4,
+                          broadcast_key_limit=1_000_000)
+    bulk = LakehouseSink(spark, str(tmp_path / "bulk"), n_buckets=4,
+                         broadcast_key_limit=10)
+    small.ensure(); bulk.ensure()
+    m1 = small.merge(_df(spark, rows), 0)
+    m2 = bulk.merge(_df(spark, rows), 0)
+    assert m1["merge_path"] == "broadcast"
+    assert m2["merge_path"] == "bulk"
+    assert m1["bucket_watermarks"] == m2["bucket_watermarks"]
+    a = sorted(tuple(r) for r in small.read().select(*COLS[2:4], "seq", "commit", "content").collect())
+    b = sorted(tuple(r) for r in bulk.read().select(*COLS[2:4], "seq", "commit", "content").collect())
+    assert a == b and len(a) == 40
+
+
+def test_tie_same_seq_op_deterministic_commit_asc(spark, tmp_path):
+    """A producer emitting DIFFERENT payloads at the same (key, seq, op)
+    must resolve deterministically (commit ASC) on BOTH merge paths —
+    replaying twice must yield byte-identical tables."""
+    rows = [
+        [5, "U", "r", "a", "c_zz", "py", "v_zz"],
+        [5, "U", "r", "a", "c_aa", "py", "v_aa"],
+        [5, "U", "r", "a", "c_mm", "py", "v_mm"],
+    ]
+    for limit, expect_path in [(1_000_000, "broadcast"), (0, "bulk")]:
+        sink = LakehouseSink(spark, str(tmp_path / f"t{limit}"), n_buckets=2,
+                             broadcast_key_limit=limit)
+        sink.ensure()
+        m = sink.merge(_df(spark, rows), 0)
+        assert m["merge_path"] == expect_path
+        r = sink.read().collect()
+        assert len(r) == 1 and r[0]["commit"] == "c_aa" and r[0]["content"] == "v_aa"
+
+
+def test_derived_broadcast_key_limit_is_bounded(spark, tmp_path):
+    """Default limit derives from the driver heap: floor 200k, cap 4M."""
+    sink = LakehouseSink(spark, str(tmp_path / "t"))
+    assert 200_000 <= sink.broadcast_key_limit <= 4_000_000
+
+
+def test_merge_leaves_no_cached_rdds(spark, tmp_path):
+    """Regression guard for the r01 cache leak (unpersist on a
+    post-drop plan was a no-op; leaked cache inflated every bench
+    number).  After a merge, ZERO persistent RDDs may remain."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"],
+                           [2, "U", "r", "b", "c2", "py", "v2"]]), 0)
+    sink.merge(_df(spark, [[3, "U", "r", "a", "c3", "py", "v3"]]), 1)
+    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0, f"{n_cached} persistent RDDs leaked by merge"
