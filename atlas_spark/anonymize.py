@@ -107,10 +107,34 @@ class Anonymizer:
         unknown = set(requested) - set(PATTERNS)
         if unknown:
             raise ValueError(f"unknown categories: {sorted(unknown)}")
+        # Two category sets with different stakes:
+        # * ``protected`` — EVERY requested category.  The mutation
+        #   paths (redact/tokenize/path-addressed) use it: a compliance
+        #   redaction API that silently skips a requested PII category
+        #   leaks data, so the confidence gate NEVER applies there
+        #   (the reference gates per-detection scores in its detector,
+        #   not whole requested categories, detector/patterns/mod.rs).
+        # * ``active`` — the detection/report surface (detect, report,
+        #   detect_entities, audit), where the reference's 0.7
+        #   confidence gate applies: low-confidence categories don't
+        #   pollute match counts and audit logs unless the caller
+        #   lowers the threshold.
+        self.protected = list(requested)
         self.active = [
             c for c in requested
             if CONFIDENCE[c] >= self.confidence_threshold
         ]
+        dropped = [c for c in requested if c not in self.active]
+        if dropped:
+            import warnings
+
+            warnings.warn(
+                f"confidence_threshold={self.confidence_threshold} "
+                f"deactivates {dropped} on DETECTION paths only "
+                "(detect/report/detect_entities/audit); redact/tokenize "
+                "still cover every requested category",
+                stacklevel=2,
+            )
 
     # ------------------------------------------------------------ detect
     def detect(self, df: DataFrame, col: str) -> DataFrame:
@@ -153,7 +177,7 @@ class Anonymizer:
         """A4: replace every match with [REDACTED_<CAT>] — chained
         builtin regexp_replace, whole-stage codegen."""
         expr = F.col(col)
-        for cat in self.active:
+        for cat in self.protected:
             expr = F.regexp_replace(
                 expr, PATTERNS[cat], f"[REDACTED_{cat}]"
             )
@@ -169,7 +193,7 @@ class Anonymizer:
         Arrow-batched pandas UDF: Python runs once per ~10k-row batch,
         regex work is C (pandas .str.replace with compiled patterns).
         """
-        compiled = [(c, re.compile(PATTERNS[c])) for c in self.active]
+        compiled = [(c, re.compile(PATTERNS[c])) for c in self.protected]
 
         @pandas_udf("string")
         def _tok(s: pd.Series) -> pd.Series:
@@ -236,32 +260,44 @@ class Anonymizer:
     # ------------------------------------------------------------- audit
     def audit(self, df: DataFrame, col: str, key_col: str) -> DataFrame:
         """A7: hashed audit log — every detected value, SHA-256-hashed
-        (never the plaintext), with its category and source key."""
-        parts = []
-        for cat in self.active:
-            parts.append(
-                df.select(
-                    F.col(key_col).alias("record_key"),
-                    F.lit(cat).alias("category"),
-                    F.explode(
-                        F.regexp_extract_all(
-                            F.col(col), F.lit(PATTERNS[cat]), 0
-                        )
-                    ).alias("_v"),
-                ).select(
-                    "record_key",
-                    "category",
-                    F.sha2(F.col("_v"), 256).alias("value_sha256"),
-                )
+        (never the plaintext), with its category and source key.
+
+        ONE scan: every category's ``regexp_extract_all`` rides a
+        single projection as an array of (category, value) structs,
+        flattened and exploded once (the r02 shape unioned one
+        full-corpus scan per category — 20 scans for the default
+        registry).  All builtins, whole-stage codegen."""
+        def _tag(cat):
+            # NB: a `lambda v, c=cat:` default-arg close-over would make
+            # the lambda arity 2, which F.transform interprets as
+            # (element, INDEX) — the category would silently become the
+            # array index.  Factory function keeps arity 1.
+            return lambda v: F.struct(
+                F.lit(cat).alias("category"), v.alias("v")
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+
+        per_cat = [
+            F.transform(
+                F.regexp_extract_all(F.col(col), F.lit(PATTERNS[cat]), 0),
+                _tag(cat),
+            )
+            for cat in self.active
+        ]
+        return (
+            df.select(
+                F.col(key_col).alias("record_key"),
+                F.explode(F.flatten(F.array(*per_cat))).alias("_m"),
+            )
+            .select(
+                "record_key",
+                F.col("_m.category").alias("category"),
+                F.sha2(F.col("_m.v"), 256).alias("value_sha256"),
+            )
+        )
 
     # ----------------------------------------------- path-addressed (A6)
     def _redact_expr(self, expr):
-        for cat in self.active:
+        for cat in self.protected:
             expr = F.regexp_replace(expr, PATTERNS[cat], f"[REDACTED_{cat}]")
         return expr
 

@@ -79,6 +79,34 @@ def cmd_replay(args) -> int:
     signal.signal(signal.SIGTERM, _handler)
 
     spark, sink, control, runner = _build(cfg)
+    # stream-identity confirm (reference export.rs:147-172 prompts
+    # before every export; we prompt only when it matters): replaying a
+    # DIFFERENT changelog into a committed table means epoch ordinals
+    # collide with existing fences — data would be silently skipped or
+    # the plan guard would abort mid-run.  Demand --yes (or an
+    # interactive confirmation) and re-record the identity.
+    recorded = runner.recorded_fingerprint()
+    planned = runner.changelog_fingerprint(cfg.source.changelog_dir)
+    if recorded is not None and planned is not None and recorded != planned:
+        ok = bool(getattr(args, "yes", False))
+        if not ok and sys.stdin.isatty():
+            ans = input(
+                "changelog fingerprint differs from the one this table "
+                "was built from — continue anyway? [y/N] "
+            )
+            ok = ans.strip().lower() in ("y", "yes")
+        if not ok:
+            print(
+                "refusing: this table was built from a different "
+                "changelog (fingerprint mismatch — directory rotated, "
+                "renamed or re-sliced?).  Point at the original "
+                "changelog, use a fresh sink.table_root, or re-run "
+                "with --yes to accept the new stream identity.",
+                file=sys.stderr,
+            )
+            spark.stop()
+            return 2
+        runner.record_fingerprint(planned)
     if cfg.source.mode == "full" and sink.last_committed_epoch() >= 0:
         # full replay = from-scratch rebuild; refusing to silently wipe
         # or double-apply an existing table (coordinator.rs:454-458
@@ -210,6 +238,10 @@ def main(argv=None) -> int:
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-c", "--config", required=(name != "init"))
+        if name == "replay":
+            sp.add_argument("--yes", action="store_true",
+                            help="accept a changed changelog stream "
+                                 "identity without prompting")
         if name == "compact":
             sp.add_argument("--drop-tombstones", action="store_true",
                             help="physically remove delete markers "

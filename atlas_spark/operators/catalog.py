@@ -234,6 +234,13 @@ def _words(col="text"):
 # inside every element_at of the shingle lambda — O(words²) per row
 # (measured at sf0.1: q_minhash_signature 3.3 s → 0.22 s,
 # q_ngram_jaccard 10.5 s → 2.3 s after binding).
+# cap on members per LSH band: bounds the collect_list aggregation
+# buffer (and the pair explosion, |band|²) when a pathological corpus
+# collapses into one band.  Oversized bands are DROPPED — recall
+# degrades instead of an executor OOM.  Mirrored into the DuckDB
+# oracles so the capped semantics stay checkable.
+_MAX_BAND = 10_000
+
 _SHINGLE_EXPR = (
     "element_at(transform(array(split({col}, ' ')), ws -> "
     "CASE WHEN size(ws) >= 3 THEN "
@@ -305,8 +312,12 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     sig = d.select("doc_id", F.expr(_mh(0, shd)).alias("mh0")).filter(
         F.col("mh0").isNotNull()
     )
+    # band-size cap: a pathological band (constant/boilerplate corpus
+    # surviving exact dedup) would otherwise materialize one giant
+    # aggregation buffer row — degrade recall instead of OOMing; the
+    # oracle applies the identical cap so semantics stay checkable
     g = sig.groupBy("mh0").agg(F.collect_list("doc_id").alias("ids")).filter(
-        F.size("ids") >= 2
+        (F.size("ids") >= 2) & (F.size("ids") <= _MAX_BAND)
     )
     return (
         g.select(F.explode("ids").alias("doc_a"), F.col("ids"))
@@ -331,7 +342,7 @@ def q_ngram_jaccard(spark, sf_dir):
     ).filter(F.col("mh0").isNotNull())
     g = rel.groupBy("mh0").agg(
         F.collect_list(F.struct("doc_id", "shd")).alias("ds")
-    ).filter(F.size("ds") >= 2)
+    ).filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_BAND))
     pairs = (
         g.select(F.explode("ds").alias("a"), F.col("ds"))
         .select("a", F.explode("ds").alias("b"))
@@ -601,15 +612,18 @@ def q_anonymize_report(spark, sf_dir):
 
 
 def q_detect_entities(spark, sf_dir):
-    """A2 per-detection entity rows (category/confidence/hashed value;
-    the span columns exist in the API but are dropped here because
-    DuckDB has no match-position function to oracle them — they are
-    pytest-verified instead).
+    """A2 per-detection entity rows — category, SPAN (start/end),
+    confidence, hashed value.
 
     The synthetic corpus contains no PII-shaped tokens, so the query
     enriches each doc with deterministic per-row contact lines (same
     construction in the oracle SQL) — every category fires with values
-    that vary per row, making the hash compare non-vacuous."""
+    that vary per row, making the hash compare non-vacuous.  Because
+    the planted PII sits at FIXED offsets from ``length(text)``, the
+    spans the pandas-UDF detector reports are DuckDB-computable with
+    pure string arithmetic (VERDICT r02 #7) — DuckDB has no
+    match-position function, so this construction is what makes the
+    span columns oracle-checkable at all."""
     from ..anonymize import Anonymizer
 
     d = _t(spark, sf_dir, "documents").withColumn(
@@ -623,7 +637,8 @@ def q_detect_entities(spark, sf_dir):
     ents = Anonymizer(
         categories=["EMAIL", "URL", "DATE", "ZIP"]
     ).detect_entities(d, "_txt", "doc_id")
-    return ents.select("record_key", "category", "confidence", "value_sha256")
+    return ents.select("record_key", "category", "start", "end",
+                       "confidence", "value_sha256")
 
 
 # --------------------------------------------------------------------------
@@ -768,6 +783,8 @@ ORACLES: dict[str, str] = {
               FROM t)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM s a JOIN s b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+        WHERE a.mh0 IN (SELECT mh0 FROM s GROUP BY mh0
+                        HAVING count(*) <= {_MAX_BAND})
     """,
     "q_ngram_jaccard": f"""
         WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
@@ -779,6 +796,8 @@ ORACLES: dict[str, str] = {
                round(len(list_intersect(a.sh, b.sh))::DOUBLE /
                      len(list_distinct(a.sh || b.sh)), 4) AS jaccard
         FROM s a JOIN s b ON a.mh0 = b.mh0 AND a.doc_id < b.doc_id
+        WHERE a.mh0 IN (SELECT mh0 FROM s GROUP BY mh0
+                        HAVING count(*) <= {_MAX_BAND})
     """,
     "q_embedding_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] qe FROM embeddings WHERE vec_id = 0),
@@ -941,14 +960,31 @@ _ENRICH_SQL = (
     "' on 2024-03-15 zip 90210-1234'"
 )
 
+# Spans by construction: the planted suffix is
+#   ' reach user<id>@example.com via https://mirror/<source>'
+#   ' on 2024-03-15 zip 90210-1234'
+# so with lt/li/ls = length(text)/length(id)/length(source), every
+# category's (start, end) is fixed arithmetic (0-based, end-exclusive —
+# Python re.finditer semantics, which the Spark-side pandas UDF emits).
+_PII_SPANS = {
+    #        value construction                    start            end
+    "EMAIL": ("'user' || doc_id::VARCHAR || '@example.com'",
+              "lt + 7", "lt + 23 + li"),
+    "URL": ("'https://mirror/' || source",
+            "lt + 28 + li", "lt + 43 + li + ls"),
+    "DATE": ("'2024-03-15'", "lt + 47 + li + ls", "lt + 57 + li + ls"),
+    "ZIP": ("'90210-1234'", "lt + 62 + li + ls", "lt + 72 + li + ls"),
+}
+
 ORACLES["q_detect_entities"] = "\nUNION ALL\n".join(
     f"""SELECT doc_id AS record_key, '{c}' AS category,
-        {_PII_CONF[c]} AS confidence, sha256(m) AS value_sha256
-        FROM (SELECT doc_id,
-                     unnest(regexp_extract_all({_ENRICH_SQL},
-                                               '{_sqlq(_PII[c])}')) AS m
+        ({s})::INT AS start, ({e})::INT AS "end",
+        {_PII_CONF[c]} AS confidence, sha256({v}) AS value_sha256
+        FROM (SELECT doc_id, source, length(text) AS lt,
+                     length(doc_id::VARCHAR) AS li,
+                     length(source) AS ls
               FROM documents)"""
-    for c in _REPORT_CATS
+    for c, (v, s, e) in _PII_SPANS.items()
 )
 
 # q_simhash oracle: recompute the md5_16 simhash bit-exactly in DuckDB

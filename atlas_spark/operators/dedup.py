@@ -35,11 +35,16 @@ def exact_dups(df: DataFrame, id_col: str = "doc_id",
 
 def near_dups(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text", n_bands: int = 4,
-              jaccard_threshold: float = 0.8) -> DataFrame:
+              jaccard_threshold: float = 0.8,
+              max_band_size: int = 10_000) -> DataFrame:
     """(loser_id, keeper_id) for near-identical texts.
 
     MinHash band join → candidate pairs → exact Jaccard verify on
     word 3-shingles → keep the lowest id of each verified pair.
+
+    ``max_band_size`` drops pathological bands (boilerplate corpora
+    surviving exact dedup) so one band cannot OOM an aggregation
+    buffer: recall degrades instead of the job dying.
     """
     # ONE bound expression per row computes the distinct shingles and
     # every band's minhash (split/shingling evaluated once — see the
@@ -66,7 +71,7 @@ def near_dups(df: DataFrame, id_col: str = "doc_id",
     ).filter(F.col("_band").isNotNull())
     grouped = sig.groupBy("_bandpos", "_band").agg(
         F.collect_list(F.struct("_id", "_shd")).alias("_ds")
-    ).filter(F.size("_ds") >= 2)
+    ).filter((F.size("_ds") >= 2) & (F.size("_ds") <= max_band_size))
     pairs = (
         grouped.select(F.explode("_ds").alias("_a"), F.col("_ds"))
         .select("_a", F.explode("_ds").alias("_b"))

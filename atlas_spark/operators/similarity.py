@@ -117,6 +117,24 @@ class IvfIndex:
             "(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END).i"
         ).cast("int")
 
+    def _topn_cells_expr(self, n: int):
+        """Array of the ``n`` nearest centroid ids per vector (same
+        rounding + lowest-id tiebreak as the argmax) — the multi-probe
+        assignment for boundary-recall-sensitive paths."""
+        sims = [
+            f"named_struct('s', round({_cos_sql(self.emb_col, _qlit(c))}, 6), "
+            f"'i', {i})"
+            for i, c in enumerate(self.centroids)
+        ]
+        arr = "array(" + ", ".join(sims) + ")"
+        cmp = (
+            "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+            "WHEN l.i < r.i THEN -1 ELSE 1 END"
+        )
+        return F.expr(
+            f"transform(slice(array_sort({arr}, {cmp}), 1, {n}), x -> x.i)"
+        )
+
     def _probe_cells(self, vec) -> list[int]:
         import math
 
@@ -174,27 +192,37 @@ def embedding_neardups_ivf(df: DataFrame, threshold: float = 0.5,
                            n_cells: int = 16,
                            id_col: str = "vec_id",
                            emb_col: str = "embedding",
-                           centroids: str = "kmeans") -> DataFrame:
+                           centroids: str = "kmeans",
+                           nprobe: int = 1) -> DataFrame:
     """Embedding-cosine near-dup pairs, cell-bounded (VERDICT r01 #3:
     the composed API a user reaches for must never be a cartesian
     product).  Vectors are assigned to IVF cells; candidate pairs come
     from a self-equi-join ON the cell id — at scale the cell is the
     partition column, so each join task touches one cell's vectors.
 
-    Recall caveat (standard IVF tradeoff, documented): a near-dup pair
-    straddling a cell boundary is missed; raise n_cells' inverse or
-    post-probe neighboring cells when boundary recall matters.  True
-    near-dups (cos → 1) land in the same cell for any reasonable
-    quantizer.
+    ``nprobe`` (multi-probe, VERDICT r02 #8): at 1, a near-dup pair
+    straddling a cell boundary is missed (standard IVF tradeoff).  At
+    n > 1 each vector ALSO joins through its n nearest cells, closing
+    the boundary-recall gap at ~n× join fan-out: a pair is found when
+    either member's primary cell is among the other's top-n cells.
+    True near-dups (cos → 1) land in the same cell for any reasonable
+    quantizer, so nprobe=1 stays the cheap default.
     """
-    idx = IvfIndex(n_cells=n_cells, nprobe=1,
+    idx = IvfIndex(n_cells=n_cells, nprobe=nprobe,
                    id_col=id_col, emb_col=emb_col)
     asg = idx.build(df, centroids=centroids).select(
         id_col, emb_col, "_cell"
     )
-    a, b = asg.alias("a"), asg.alias("b")
+    a = asg.alias("a")
+    if nprobe > 1:
+        b = idx.assigned.select(
+            id_col, emb_col,
+            F.explode(idx._topn_cells_expr(nprobe)).alias("_cell"),
+        ).alias("b")
+    else:
+        b = asg.alias("b")
     cos = F.expr(_cos_cols_sql(f"a.{emb_col}", f"b.{emb_col}"))
-    return (
+    out = (
         a.join(b, F.col("a._cell") == F.col("b._cell"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -204,6 +232,9 @@ def embedding_neardups_ivf(df: DataFrame, threshold: float = 0.5,
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    if nprobe > 1:
+        out = out.dropDuplicates(["id_a", "id_b"])
+    return out
 
 
 # --------------------------------------------------------------- simhash
@@ -271,16 +302,28 @@ def _band_slices(n_bits: int, n_bands: int) -> list[tuple[int, int]]:
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       max_hamming: int = 2,
-                      word_hash: str = "crc32") -> DataFrame:
+                      word_hash: str = "crc32",
+                      max_band_size: int = 10_000) -> DataFrame:
     """Near-dup pairs within ``max_hamming`` bits, banded.
 
     Pigeonhole recall guarantee: the 16 bits are split into
     ``max_hamming + 1`` bands, so any pair differing in ≤ max_hamming
     bits has at least one band with NO differing bit → lands in the
     same bucket (r01 used 2 fixed byte-bands, which only guarantees
-    hamming ≤ 1).  Bands are exploded to rows so all bands join in ONE
-    self-join on (band_index, band_value); exact hamming verifies
-    candidates."""
+    hamming ≤ 1).
+
+    Shape: GROUP-BY-BAND — one scan, one shuffle.  A band self-join
+    was shipped in r02 and re-scanned (and re-simhashed) BOTH sides:
+    HOF lambda expressions defeat exchange-reuse canonicalization (the
+    same finding that reshaped the LSH/Jaccard paths, see
+    catalog.q_lsh_candidate_pairs).  Candidate pairs explode inside
+    each band group instead; exact hamming verifies.
+
+    ``max_band_size`` caps a pathological band (e.g. a constant-text
+    corpus collapsing to one simhash) so the aggregation buffer cannot
+    OOM an executor: oversized bands are dropped — recall degrades
+    instead of the job crashing.  Run exact dedup first so identical
+    docs cannot form a mega-band."""
     n_bands = max_hamming + 1
     s = simhash16(df, text_col, word_hash=word_hash)
     bands = F.array(*[
@@ -291,9 +334,14 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.col("simhash"),
         F.posexplode(bands).alias("_bandpos", "_band"),
     )
-    a, b = rel.alias("a"), rel.alias("b")
+    g = (
+        rel.groupBy("_bandpos", "_band")
+        .agg(F.collect_list(F.struct(id_col, "simhash")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_band_size))
+    )
     return (
-        a.join(b, ["_bandpos", "_band"])
+        g.select(F.explode("ds").alias("a"), F.col("ds"))
+        .select("a", F.explode("ds").alias("b"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

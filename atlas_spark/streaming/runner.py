@@ -105,24 +105,17 @@ def validate_batch(df: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     return df.filter(valid), df.filter(~valid), n_bad
 
 
-def prepare_batch(df: DataFrame, rules: SchemaRules,
-                  known_cols: set[str] | None = None) -> DataFrame:
-    """Transform raw change events into merge-ready rows.
-
-    Detects which payload keys are actually present in this batch (a
+def _active_rules(df: DataFrame, rules: SchemaRules,
+                  known_cols: set[str] | None = None) -> SchemaRules:
+    """Detect which payload keys are actually present in this batch (a
     narrow regex probe over the raw payload string) so a column
     genuinely *appears* mid-stream: the sink's manifest schema only
     evolves when the data does.
 
-    Cost discipline for a 10^10-event stream (both measured at the
-    16M-event bench):
-
-    * ``known_cols`` — typed columns the SINK already carries don't
-      need presence-probing (they evolved; they stay).  Once the
-      schema has fully evolved, every later epoch runs ZERO probe
-      jobs (~2 s/epoch saved).
-    * the ``from_json`` map decode (~2.3 s/epoch) runs only when at
-      least one typed column is actually being projected.
+    ``known_cols`` — typed columns the SINK already carries don't need
+    presence-probing (they evolved; they stay).  Once the schema has
+    fully evolved, every later epoch runs ZERO probe jobs (~2 s/epoch
+    saved, measured at the 16M-event bench).
     """
     known = known_cols or set()
     # cheap presence probe per declared rule column: one narrow agg of
@@ -142,18 +135,49 @@ def prepare_batch(df: DataFrame, rules: SchemaRules,
     else:
         present = set()
     present |= known & set(rules.typed_columns)
-    active = SchemaRules(
+    return SchemaRules(
         renames=rules.renames,
         typed_columns={
             k: t for k, t in rules.typed_columns.items() if k in present
         },
     )
+
+
+def _apply_projection(df: DataFrame, active: SchemaRules) -> DataFrame:
+    """Decode + project one batch under already-probed rules.  The
+    ``from_json`` map decode runs only when at least one typed column
+    is actually being projected."""
     if active.typed_columns:
         df = decode_payload(df)
     else:
-        df = df.withColumn("_payload_map", F.lit(None).cast("map<string,string>"))
+        df = df.withColumn(
+            "_payload_map", F.lit(None).cast("map<string,string>")
+        )
     df = active.project(df)
     return df.drop("_payload_map", "payload", "ts")
+
+
+def prepare_batch(df: DataFrame, rules: SchemaRules,
+                  known_cols: set[str] | None = None) -> DataFrame:
+    """Transform raw change events into merge-ready rows (eager shape:
+    every row decoded — right for sinks that consume the batch once)."""
+    return _apply_projection(df, _active_rules(df, rules, known_cols))
+
+
+def prepare_batch_deferred(df: DataFrame, rules: SchemaRules,
+                           known_cols: set[str] | None = None):
+    """Deferred-decode shape: return the RAW batch plus a projection
+    callable to apply AFTER LWW winner election.
+
+    Why this exists (measured, 32M-event epoch at local[16]): the
+    ``from_json`` payload decode costs ~11 s when computed for every
+    raw event, but only the ~1–2% of rows that win their key need it —
+    Catalyst cannot lift a projection above the fetch join on its own,
+    so the plan must be built with the decode already downstream of
+    the election.  The sink applies ``post`` to the winner relation
+    (decode 400 k rows, not 32 M)."""
+    active = _active_rules(df, rules, known_cols)
+    return df.drop("ts"), (lambda d: _apply_projection(d, active))
 
 
 @dataclass
@@ -228,18 +252,37 @@ class ReplayRunner:
             known = {
                 name for name, _ in self.sink.manifest()["schema"]
             }
-        batch = prepare_batch(df, self.rules, known_cols=known)
-        if self.transform is not None:
-            batch = self.transform(batch)
-        if self.dry_run:
-            # W6 write-elision: trigger the compute, commit nothing
-            n = batch.count()
-            n_rejects = self._drain_rejects(obs, raw, epoch_id)
-            return {
-                "epoch_id": epoch_id, "rows_in": n, "dry_run": True,
-                "skipped": True, "rejects": n_rejects,
-            }
-        res = self.sink.merge(batch, epoch_id)
+        defer = (
+            not self.dry_run
+            and getattr(self.sink, "supports_deferred_decode", False)
+        )
+        if defer:
+            # winners-first sinks decode only the rows that win their
+            # key: hand them the raw batch + the projection to apply
+            # post-election.  The per-batch transform hook (anonymize)
+            # composes after the decode — the final table state is
+            # identical (losing rows never reach it) but the transform
+            # runs on ~1–2% of the rows.
+            batch, post = prepare_batch_deferred(
+                df, self.rules, known_cols=known
+            )
+            if self.transform is not None:
+                decode, xform = post, self.transform
+                post = lambda d: xform(decode(d))  # noqa: E731
+            res = self.sink.merge(batch, epoch_id, post_project=post)
+        else:
+            batch = prepare_batch(df, self.rules, known_cols=known)
+            if self.transform is not None:
+                batch = self.transform(batch)
+            if self.dry_run:
+                # W6 write-elision: trigger the compute, commit nothing
+                n = batch.count()
+                n_rejects = self._drain_rejects(obs, raw, epoch_id)
+                return {
+                    "epoch_id": epoch_id, "rows_in": n, "dry_run": True,
+                    "skipped": True, "rejects": n_rejects,
+                }
+            res = self.sink.merge(batch, epoch_id)
         # fenced redelivery runs no action — obs.get would block forever;
         # the original delivery already dead-lettered this epoch's rejects
         res["rejects"] = (
@@ -285,6 +328,46 @@ class ReplayRunner:
         )
         k = self.files_per_epoch
         return [files[i : i + k] for i in range(0, len(files), k)]
+
+    # ---------------------------------------------- stream identity
+    def changelog_fingerprint(self, changelog_dir: str) -> str | None:
+        """Identity of the stream this table was built from: sha256 of
+        the FIRST epoch's (basename, size) pairs.  Stable under
+        append-only growth (later files never alter epoch 0); changes
+        when the changelog directory is rotated, renamed or RE-SLICED
+        (same names, different contents) — the cases where epoch
+        ordinals silently collide with already-committed fences."""
+        import hashlib
+
+        epochs = self.plan_epochs(changelog_dir)
+        if not epochs:
+            return None
+        names = "\n".join(
+            f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in epochs[0]
+        )
+        return hashlib.sha256(names.encode()).hexdigest()
+
+    def _fingerprint_path(self) -> str | None:
+        root = getattr(self.sink, "root", None)
+        if root is None:
+            return None
+        d = os.path.join(root, "_control")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, "stream_fingerprint")
+
+    def recorded_fingerprint(self) -> str | None:
+        path = self._fingerprint_path()
+        if path is None or not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return f.read().strip() or None
+
+    def record_fingerprint(self, fingerprint: str | None) -> None:
+        path = self._fingerprint_path()
+        if path is None or fingerprint is None:
+            return
+        with open(path, "w") as f:
+            f.write(fingerprint)
 
     def _epoch_plan_path(self) -> str | None:
         root = getattr(self.sink, "root", None)
@@ -369,6 +452,8 @@ class ReplayRunner:
         last = self.sink.last_committed_epoch()
         epochs = self.plan_epochs(changelog_dir)
         self._check_epoch_plan(epochs, last)
+        if not self.dry_run and self.recorded_fingerprint() is None:
+            self.record_fingerprint(self.changelog_fingerprint(changelog_dir))
         for epoch_id, files in enumerate(epochs):
             if epoch_id <= last:
                 s.epochs_skipped += 1
@@ -390,6 +475,14 @@ class ReplayRunner:
             if not self.dry_run:
                 self._record_epoch_plan(epoch_id, files)
             res = self.apply_batch(df, epoch_id, started)
+            if os.environ.get("ATLAS_DEBUG_EPOCHS"):
+                import json as _json
+                print("EPOCH " + _json.dumps({
+                    "epoch": epoch_id,
+                    **{k: res[k] for k in (
+                        "rows_in", "duration_ms", "phase_ms", "merge_path",
+                    ) if k in res},
+                }), flush=True)
             s.epochs_applied += 1
             s.rows_in += res.get("rows_in", 0)
             s.deletes += res.get("deletes", 0) or 0

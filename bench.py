@@ -196,8 +196,10 @@ def main() -> None:
         spark.stop()
         return
 
-    # merge-on-read variant (JVM already warm): steady-stream shape,
-    # 8 epochs — the append-only write path
+    # merge-on-read variant (JVM already warm): SAME epoch shape as the
+    # CoW replay so the numbers compare write paths, not epoch counts —
+    # r02 ran MoR at files_per_epoch=8 vs CoW at 32 and concluded MoR
+    # was slower when it was just paying 4× the per-epoch fixed cost.
     from atlas_spark.sinks import LakehouseSink
     from atlas_spark.streaming import ReplayRunner
 
@@ -208,7 +210,7 @@ def main() -> None:
             msink = LakehouseSink(spark, mor_root, n_buckets=64, mode="mor")
             msink.ensure()
             t0 = time.monotonic()
-            ms = ReplayRunner(spark, msink, files_per_epoch=8).run(log_dir)
+            ms = ReplayRunner(spark, msink, files_per_epoch=32).run(log_dir)
             dt = time.monotonic() - t0
             if mor_sec is None or dt < mor_sec:
                 mor_sec = round(dt, 3)

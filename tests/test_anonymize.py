@@ -144,19 +144,50 @@ def test_every_category_detects_its_sample(spark):
         assert r[f"_n_{r['cat']}"] >= 1, r["cat"]
 
 
-def test_confidence_threshold_gates_categories():
-    """Default 0.7 drops the quasi-identifier categories (their static
-    confidence is below threshold, mirroring the reference's detector
-    gate); lowering the threshold re-activates them."""
-    default = Anonymizer(mode="gdpr")
+def test_confidence_threshold_gates_detection_not_redaction():
+    """The 0.7 gate applies to DETECTION paths only (mirroring the
+    reference's per-detection confidence gate); mutation paths must
+    cover every requested category — a redaction API that silently
+    skips requested PII leaks data.  A warning names what was gated."""
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        default = Anonymizer(mode="gdpr")
     assert "OCCUPATION" not in default.active
     assert "ETHNICITY" not in default.active
     assert "EMAIL" in default.active
+    # ...but the gdpr-mode quasi-identifiers stay PROTECTED (redacted)
+    assert "OCCUPATION" in default.protected
+    assert "ETHNICITY" in default.protected
+    assert any("OCCUPATION" in str(x.message) for x in w)
     low = Anonymizer(mode="gdpr", confidence_threshold=0.5)
     assert "OCCUPATION" in low.active and "ETHNICITY" in low.active
-    # explicit categories pass through the same gate
+    # explicit categories: gated for detect, NEVER for redact/tokenize
     gated = Anonymizer(categories=["EMAIL", "OCCUPATION"])
     assert gated.active == ["EMAIL"]
+    assert gated.protected == ["EMAIL", "OCCUPATION"]
+
+
+def test_redact_covers_below_threshold_requested_category(spark):
+    """Explicitly requesting a low-confidence category must redact it
+    (r02 made anonymize() a silent no-op here)."""
+    df = spark.createDataFrame(
+        [("d1", CATEGORY_SAMPLES["OCCUPATION"])], "k string, text string"
+    )
+    a = Anonymizer(categories=["OCCUPATION"])
+    out = a.redact(df, "text").collect()[0]["text"]
+    assert "[REDACTED_OCCUPATION]" in out
+
+
+def test_audit_is_single_scan(spark):
+    """The audit log's 20 categories must ride ONE corpus scan (one
+    explode over a flattened struct array), not a 20-branch union."""
+    df = spark.createDataFrame([("d1", "a@b.co x")], "k string, text string")
+    a = Anonymizer(mode=None, confidence_threshold=0.0)
+    plan = a.audit(df, "text", "k")._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1
+    assert "Union" not in plan
 
 
 def test_detect_entities_spans_and_hashes(spark):

@@ -79,3 +79,40 @@ def test_cli_lifecycle(tmp_path):
     with open(os.path.join(table, "_manifests", f"manifest.{v:08d}.json")) as f:
         m = json.load(f)
     assert m["committed_epoch_max"] == 1
+
+
+def test_cli_replay_confirms_changed_stream_identity(tmp_path):
+    """Pointing `replay` at a DIFFERENT changelog than the one a table
+    was built from must refuse (exit 2) unless --yes accepts the new
+    stream identity (reference export.rs:147-172 confirm analog)."""
+    cl = generate_changelog(ChangelogSpec(n_events=120, n_repos=3,
+                                          paths_per_repo=5))
+    log_a = str(tmp_path / "log_a")
+    log_b = str(tmp_path / "log_b")
+    write_changelog(cl, log_a, n_files=1)
+    write_changelog(cl, log_b, n_files=2)  # different slicing/names
+    table = str(tmp_path / "table")
+
+    def cfg_for(log_dir):
+        p = tmp_path / "engine.toml"
+        p.write_text(
+            f'[source]\nchangelog_dir = "{log_dir}"\nfiles_per_epoch = 1\n'
+            f'[sink]\ntable_root = "{table}"\nn_buckets = 4\n'
+            f'[spark]\nmaster = "local[2]"\nshuffle_partitions = 2\n'
+        )
+        return str(p)
+
+    r = _cli("replay", "-c", cfg_for(log_a))
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # rotated/re-sliced changelog, no --yes, non-interactive → exit 2
+    r2 = _cli("replay", "-c", cfg_for(log_b))
+    assert r2.returncode == 2, (r2.stdout, r2.stderr[-2000:])
+    assert "fingerprint mismatch" in r2.stderr
+
+    # --yes accepts the new identity (the epoch-plan guard still
+    # protects against silent re-slicing of COMMITTED epochs, so the
+    # run aborts loudly rather than corrupting — but the refusal is
+    # no longer the fingerprint's)
+    r3 = _cli("replay", "-c", cfg_for(log_b), "--yes")
+    assert "fingerprint mismatch" not in (r3.stderr or "")

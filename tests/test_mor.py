@@ -94,3 +94,48 @@ def test_mor_resume(spark, tmp_path):
     sink2 = LakehouseSink(spark, root, n_buckets=4)
     ReplayRunner(spark, sink2, files_per_epoch=2).run(log_dir)
     check_against_oracle(spark, sink2, changelog)
+
+
+def test_mor_merge_never_reads_existing(spark, tmp_path, monkeypatch):
+    """The structural property behind MoR's cost model: a MoR merge is
+    election + append — it must NEVER read existing table files (CoW
+    with existing data must).  Pinned here because the bench-scale
+    table is too small for the asymmetry to show up in wall time."""
+    from atlas_spark.sinks import LakehouseSink
+    from atlas_spark.sinks.lakehouse import LakehouseSink as LS
+
+    calls = {"n": 0}
+    orig = LS._read_files
+
+    def counting(self, files, schema_fields):
+        calls["n"] += 1
+        return orig(self, files, schema_fields)
+
+    monkeypatch.setattr(LS, "_read_files", counting)
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows,
+            "seq bigint, op string, repo string, path string, "
+            "commit string, lang string, content string",
+        )
+
+    batch0 = [(1, "I", "r", f"p{i}", "c1", "py", f"v{i}") for i in range(8)]
+    batch1 = [(2, "U", "r", f"p{i}", "c2", "py", f"w{i}") for i in range(8)]
+
+    mor = LakehouseSink(spark, str(tmp_path / "mor"), n_buckets=2, mode="mor")
+    mor.ensure()
+    mor.merge(df(batch0), 0)
+    mor.merge(df(batch1), 1)  # existing data present — still no read
+    assert calls["n"] == 0, "MoR merge scanned the existing side"
+
+    cow = LakehouseSink(spark, str(tmp_path / "cow"), n_buckets=2, mode="cow")
+    cow.ensure()
+    cow.merge(df(batch0), 0)
+    cow.merge(df(batch1), 1)
+    assert calls["n"] >= 1, "CoW merge with existing data must read it"
+
+    # same final state either way
+    a = sorted(tuple(r) for r in mor.read().select("path", "seq", "content").collect())
+    b = sorted(tuple(r) for r in cow.read().select("path", "seq", "content").collect())
+    assert a == b
