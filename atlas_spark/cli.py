@@ -38,7 +38,11 @@ def _build(cfg):
         sink = LakehouseSink(spark, cfg.sink.table_root,
                              n_buckets=cfg.sink.n_buckets,
                              mode=cfg.sink.merge_mode)
-    sink.ensure()
+    decl = cfg.sink.declared_pairs() if hasattr(cfg.sink, "declared_pairs") else []
+    if decl and hasattr(sink, "supports_deferred_decode"):
+        sink.ensure(declared_columns=decl)
+    else:
+        sink.ensure()
     control = ControlTables(cfg.sink.table_root)
     transform = None
     if cfg.run.anonymize:

@@ -38,6 +38,10 @@ class SinkConfig:
     n_buckets: int = 64
     format: str = "lakehouse"  # or "iceberg"
     merge_mode: str = "cow"    # cow = copy-on-write, mor = merge-on-read
+    # evolved payload columns declared at CREATE TABLE time ("name:
+    # type" strings, e.g. ["lines:bigint"]): the runner then never
+    # probes the raw payload for their presence (DDL-ensure, W8)
+    declared_columns: list[str] = field(default_factory=list)
 
     def validate(self) -> list[str]:
         errs = []
@@ -47,7 +51,18 @@ class SinkConfig:
             errs.append("sink.format must be lakehouse|iceberg")
         if self.merge_mode not in ("cow", "mor"):
             errs.append("sink.merge_mode must be cow|mor")
+        for d in self.declared_columns:
+            if ":" not in d:
+                errs.append(
+                    f"sink.declared_columns entry {d!r} must be 'name:type'"
+                )
         return errs
+
+    def declared_pairs(self) -> list[tuple[str, str]]:
+        return [
+            (n.strip(), t.strip())
+            for n, t in (d.split(":", 1) for d in self.declared_columns)
+        ]
 
 
 @dataclass
@@ -180,6 +195,8 @@ table_root = "/data/lake/repos"
 n_buckets = 64            # raise so one bucket is a few GB at scale
 format = "lakehouse"      # iceberg = MERGE INTO via a real catalog
 merge_mode = "cow"        # mor = append-only merges, resolve at read
+# declared_columns = ["lines:bigint", "committer:string"]  # DDL-ensure:
+#                     skip payload presence probes for known evolution
 
 [spark]
 # master = "local[32]"    # defaults to local[$SPARK_GRAFT_CPUS or *]

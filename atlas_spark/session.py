@@ -26,6 +26,12 @@ _BASE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Deterministic timestamps in tests.
     "spark.sql.session.timeZone": "UTC",
+    # CollectLimit defaults to scanning reduce partitions incrementally
+    # (1, then ×4, …) — for the merge's bounded winner collect that is
+    # up to 3 SEQUENTIAL reduce waves of driver-serialized scheduling
+    # per epoch.  The bound is a memory guard, not a top-k: scan every
+    # partition in one round.
+    "spark.sql.limit.initialNumPartitions": "10000",
     # zstd: measured −47% table size at equal-or-better replay speed
     # vs snappy on the content-heavy corpus — at 100 TB that is the
     # scan-IO budget.

@@ -83,6 +83,14 @@ def _ddl(fields: list[tuple[str, str]]) -> T.StructType:
     )
 
 
+def _explain(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
 class LakehouseSink(Sink):
     def __init__(
         self,
@@ -144,19 +152,39 @@ class LakehouseSink(Sink):
         self.mode = mode
         self._manifest_dir = os.path.join(root, "_manifests")
         self._current = os.path.join(self._manifest_dir, "CURRENT")
+        # plan-audit hook: set to a dict and merge() records the
+        # explain strings of its two jobs (election, fetch+write) so
+        # tests/tools can pin the physical shape without re-deriving
+        # the plan construction (tests/test_plans.py, tools/plan_audit)
+        self._capture: dict | None = None
 
     # ---------------------------------------------------------- manifest
-    def ensure(self) -> None:
+    def ensure(self, declared_columns: list[tuple[str, str]] | None = None
+               ) -> None:
+        """Create the table if absent (W8 DDL-ensure analog).
+
+        ``declared_columns``: evolved payload columns DECLARED up
+        front, like any CREATE TABLE — the runner then never probes
+        the raw payload for their presence (the probe is a full
+        payload-column scan per fresh table; a stream whose evolution
+        rules are known shouldn't pay it even once).  Undeclared
+        columns still evolve dynamically when they appear.
+        """
         os.makedirs(self._manifest_dir, exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         if not os.path.exists(self._current):
+            base_names = {n for n, _ in BASE_FIELDS}
+            extra = [
+                [n, t] for n, t in (declared_columns or [])
+                if n not in base_names
+            ]
             m = {
                 "version": 0,
                 "epoch_id": -1,
                 "committed_epoch_max": -1,
                 "n_buckets": self.n_buckets,
                 "mode": self.mode,
-                "schema": BASE_FIELDS,
+                "schema": [list(f) for f in BASE_FIELDS] + extra,
                 "files": {},
                 "watermarks": {},  # bucket -> cumulative max seq applied
                 "stats": {"rows": 0, "tombstones": 0},
@@ -366,6 +394,8 @@ class LakehouseSink(Sink):
         # without AQE — measured 1.3 s → 6.8 s); recomputing it per
         # consumer costs 4×.  limit+1 detects the bulk case without a
         # separate count job.
+        if self._capture is not None:
+            self._capture["win_plan"] = _explain(win_plan)
         _t_phase = time.monotonic()
         win_pdf = win_plan.limit(self.broadcast_key_limit + 1).toPandas()
         phase_ms = {"win_elect": int((time.monotonic() - _t_phase) * 1000)}
@@ -535,6 +565,8 @@ class LakehouseSink(Sink):
         else:
             out = batchw
 
+        if self._capture is not None:
+            self._capture["out"] = _explain(out)
         _t_phase = time.monotonic()
         new_files, _ = self._write_buckets(out, epoch_id)
         phase_ms["write"] = int((time.monotonic() - _t_phase) * 1000)

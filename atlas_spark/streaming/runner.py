@@ -252,6 +252,7 @@ class ReplayRunner:
             known = {
                 name for name, _ in self.sink.manifest()["schema"]
             }
+        _t_prep = time.monotonic()
         defer = (
             not self.dry_run
             and getattr(self.sink, "supports_deferred_decode", False)
@@ -269,7 +270,10 @@ class ReplayRunner:
             if self.transform is not None:
                 decode, xform = post, self.transform
                 post = lambda d: xform(decode(d))  # noqa: E731
+            prep_ms = int((time.monotonic() - _t_prep) * 1000)
             res = self.sink.merge(batch, epoch_id, post_project=post)
+            if isinstance(res.get("phase_ms"), dict):
+                res["phase_ms"]["prepare"] = prep_ms
         else:
             batch = prepare_batch(df, self.rules, known_cols=known)
             if self.transform is not None:

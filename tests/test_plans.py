@@ -50,24 +50,44 @@ def test_merge_joins_broadcast_small_side(spark, tmp_path):
     assert "SortMergeJoin" not in p
 
 
-def test_bucketed_write_single_exchange(spark, tmp_path):
-    """The LWW window shuffles once on (repo, path); the bucket column
-    pmod(hash(repo,path), n) aligns with that partitioning so the write
-    plan must contain EXACTLY ONE exchange."""
-    df = _changelog(spark, tmp_path)
-    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
-    out = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("_bucket", F.pmod(F.hash("repo", "path"), F.lit(8)))
-    )
-    p = plan(out)
-    import re
-    tree_exchanges = re.findall(r"\+- Exchange", p)
-    assert len(tree_exchanges) == 1, p
-    # bonus: Spark's WindowGroupLimit pushes the rn=1 limit below the
-    # shuffle (partial/final) — map-side reduction before the exchange
-    assert "WindowGroupLimit" in p
+def test_merge_plan_winners_first(spark, tmp_path):
+    """Pin the SHIPPED merge's physical shape (the r02 audit tested a
+    hand-built window that no longer exists — VERDICT r02 #1/#3):
+
+    * election job: narrow — `content` never appears in its plan; its
+      one hash exchange carries only key+encoded-winner columns;
+    * fetch+write job: the fetch join is a BroadcastHashJoin (never
+      SortMergeJoin); with no existing data EXACTLY ONE hash exchange
+      (the winner-width tiebreak agg, which doubles as the bucket
+      alignment for the write); with existing data at most one more
+      (the ≤2×|batch| guard window) and the window is group-limited
+      map-side."""
+    from atlas_spark.sinks import LakehouseSink
+
+    df = _changelog(spark, tmp_path).drop("payload", "ts")
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=8)
+    sink.ensure()
+    sink._capture = {}
+    sink.merge(df, 0)
+    win0, out0 = sink._capture["win_plan"], sink._capture["out"]
+    sink._capture = {}
+    sink.merge(df.withColumn("seq", F.col("seq") + 1000), 1)
+    win1, out1 = sink._capture["win_plan"], sink._capture["out"]
+
+    # election is narrow: the content column must not ride it at all.
+    # "+- Exchange" counts SHUFFLE exchanges in the plan tree
+    # (BroadcastExchange is a different node name and not counted).
+    for win in (win0, win1):
+        assert "content" not in win, win
+        assert win.count("+- Exchange") == 1, win
+
+    for out, n_hash_max in ((out0, 1), (out1, 2)):
+        assert "SortMergeJoin" not in out, out
+        assert "BroadcastHashJoin" in out, out
+        n_hash = out.count("+- Exchange")
+        assert 1 <= n_hash <= n_hash_max, out
+    # guard window resolves ≤2×|batch| rows and is group-limited
+    assert "WindowGroupLimit" in out1, out1
 
 
 def test_salted_agg_has_partial_aggregation(spark):

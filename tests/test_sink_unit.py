@@ -252,3 +252,35 @@ def test_merge_leaves_no_cached_rdds(spark, tmp_path):
     sink.merge(_df(spark, [[3, "U", "r", "a", "c3", "py", "v3"]]), 1)
     n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert n_cached == 0, f"{n_cached} persistent RDDs leaked by merge"
+
+
+def test_declared_columns_skip_probe_and_store_values(spark, tmp_path):
+    """DDL-ensure with declared evolved columns: values land typed from
+    epoch 0 with ZERO presence-probe jobs (the runner's known_cols
+    covers declared columns), identical final state to dynamic
+    evolution."""
+    from atlas_spark.streaming import ReplayRunner
+    from atlas_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
+
+    cl = generate_changelog(ChangelogSpec(n_events=300, n_repos=3,
+                                          paths_per_repo=6,
+                                          schema_evolution=True))
+    log = str(tmp_path / "log")
+    write_changelog(cl, log, n_files=2)
+
+    dyn = LakehouseSink(spark, str(tmp_path / "dyn"), n_buckets=2)
+    dyn.ensure()
+    ReplayRunner(spark, dyn, files_per_epoch=1).run(log)
+
+    decl = LakehouseSink(spark, str(tmp_path / "decl"), n_buckets=2)
+    decl.ensure(declared_columns=[("lines", "bigint"),
+                                  ("committer", "string")])
+    assert {n for n, _ in (tuple(x) for x in decl.manifest()["schema"])} >= {
+        "lines", "committer"
+    }
+    ReplayRunner(spark, decl, files_per_epoch=1).run(log)
+
+    cols = ["repo", "path", "seq", "content", "lines", "committer"]
+    a = sorted(tuple(r) for r in dyn.read().select(*cols).collect())
+    b = sorted(tuple(r) for r in decl.read().select(*cols).collect())
+    assert a == b and len(a) > 0

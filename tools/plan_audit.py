@@ -1,10 +1,12 @@
 """Generate docs/PLANS.md — physical-plan evidence for the core paths.
 
 Captures .explain("formatted") for: the incremental scan (pushdown),
-the LWW window + bucketed write (single exchange), the merge's
-broadcast semi/anti joins, and the salted agg — with commentary on why
-each plan survives a 100× scale-up.  Re-run after plan-affecting
-changes; tests/test_plans.py asserts the same properties mechanically.
+the SHIPPED winners-first merge (both jobs, taken from LakehouseSink's
+own capture hook — never a hand-built lookalike), the salted agg, the
+group-by-band near-dup shape, and the single-pass verification — with
+commentary on why each plan survives a 100× scale-up.  Re-run after
+plan-affecting changes; tests/test_plans.py asserts the same
+properties mechanically.
 """
 
 from __future__ import annotations
@@ -15,7 +17,7 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
+
 from pyspark.sql import functions as F
 
 from atlas_spark.changelog import ChangelogSpec, generate_changelog, write_changelog
@@ -52,31 +54,54 @@ def main() -> None:
         plan(scan),
     ))
 
-    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
-    out = (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .withColumn("_bucket", F.pmod(F.hash("repo", "path"), F.lit(8)))
-    )
-    sections.append((
-        "LWW window → bucketed write: ONE exchange",
-        "`_bucket = pmod(hash(repo,path), n)` IS Spark's "
-        "HashPartitioning function, so the window's shuffle already "
-        "co-locates buckets; the partitioned write adds no exchange. "
-        "`WindowGroupLimit (Partial)` discards losers map-side BEFORE "
-        "the shuffle — at skewed 10^10-event scale the shuffle carries "
-        "only per-key winners of each map partition.",
-        plan(out),
-    ))
+    # the SHIPPED winners-first merge, captured from LakehouseSink
+    # itself (not a hand-built lookalike — r02's audit drifted that
+    # way); tests/test_plans.py::test_merge_plan_winners_first pins
+    # the same properties mechanically.
+    from atlas_spark.sinks import LakehouseSink
 
-    keys = df.select("repo", "path").distinct().limit(50)
-    semi = df.join(F.broadcast(keys), ["repo", "path"], "left_semi")
+    sink = LakehouseSink(spark, os.path.join(tmp, "t"), n_buckets=8)
+    sink.ensure()
+    mdf = df.drop("payload", "ts")
+    sink._capture = {}
+    sink.merge(mdf, 0)
+    win0, out0 = sink._capture["win_plan"], sink._capture["out"]
+    sink._capture = {}
+    sink.merge(mdf.withColumn("seq", F.col("seq") + 10_000), 1)
+    win1, out1 = sink._capture["win_plan"], sink._capture["out"]
+
     sections.append((
-        "MERGE existing-side split: broadcast semi/anti joins",
-        "The micro-batch's keys broadcast; the (huge) existing side is "
-        "scanned but NEVER shuffled — no SortMergeJoin anywhere in the "
-        "merge. Only ≤2×|batch| rows enter the guard-resolution window.",
-        plan(semi),
+        "MERGE job 1 — winner election: narrow, content never shuffles",
+        "The election aggregates only (repo, path, (seq<<2)|op_pref) — "
+        "`content` appears NOWHERE in this plan. Its single hash "
+        "exchange carries ~20 B/key with map-side combine (primitive "
+        "long max, not a struct buffer). The collected winners feed "
+        "the fetch join's broadcast side, the existing-side key "
+        "broadcasts, and every batch statistic (computed driver-side "
+        "at O(keys), zero extra jobs).",
+        win1,
+    ))
+    sections.append((
+        "MERGE job 2 — fetch + write, no existing data: ONE exchange",
+        "The raw batch rescans column-pruned and hash-probes the "
+        "broadcast winner relation (BroadcastHashJoin — never "
+        "SortMergeJoin); payload decode (`from_json`) sits ABOVE the "
+        "join so it runs on ~|keys| winner rows, not every raw event "
+        "(measured 11 s → 0.2 s per 32M-event epoch). The single hash "
+        "exchange is the winner-width tiebreak aggregation "
+        "(min_by commit — deterministic), and because pmod(hash(repo,"
+        "path), n) IS Spark's HashPartitioning function it doubles as "
+        "bucket alignment: the partitioned write adds no exchange.",
+        out0,
+    ))
+    sections.append((
+        "MERGE job 2 with existing data: broadcast split + bounded window",
+        "Existing buckets are scanned but NEVER shuffled: batch keys "
+        "broadcast into semi/anti joins splitting hit/miss; only "
+        "≤2×|batch| rows (hits ∪ batch winners) enter the seq-guard "
+        "window, which WindowGroupLimit trims map-side. At a 10^10-"
+        "event table the big side never crosses the network.",
+        out1,
     ))
 
     salted = df.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(16)))
