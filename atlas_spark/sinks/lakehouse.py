@@ -345,9 +345,19 @@ class LakehouseSink(Sink):
         # any realistic changelog sequence).  `_bucket` is computed
         # AFTER the agg (it is key-functional; hashing it per raw row
         # only widened the group-by keys).
+        # merge requires non-NULL keys (quarantine dead-letters them
+        # upstream); filtering here — in BOTH paths — makes the
+        # behaviour explicit and identical rather than an accident of
+        # join-vs-groupBy NULL semantics (a NULL key can never
+        # equi-join the fetch side, but groupBy would keep it as a
+        # group and the bulk path would write it)
+        key_ok = F.lit(True)
+        for k in KEY_COLS:
+            key_ok &= F.col(k).isNotNull()
         enc = F.shiftleft(F.col("seq"), 2).bitwiseOR(op_pref)
         win_plan = (
-            batch_df.select(*KEY_COLS, F.col("seq"), enc.alias("_e"))
+            batch_df.filter(key_ok)
+            .select(*KEY_COLS, F.col("seq"), enc.alias("_e"))
             .groupBy(*KEY_COLS)
             .agg(
                 F.max("_e").alias("_wk"),
@@ -481,7 +491,7 @@ class LakehouseSink(Sink):
             # plan-side filter.
             vcols = [c for c in batch_df.columns if c not in KEY_COLS]
             aggd = (
-                batch_df.filter(F.col("seq").isNotNull())
+                batch_df.filter(key_ok & F.col("seq").isNotNull())
                 .groupBy(*KEY_COLS)
                 .agg(F.min_by(
                     F.struct(*vcols),

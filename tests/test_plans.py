@@ -1,8 +1,9 @@
 """Physical-plan quality gates — the 100 TB checklist as assertions:
 predicate pushdown reaches the parquet scan, projection prunes the
-read schema, the merge joins broadcast the small side, the bucketed
-write adds no exchange beyond the window's, salted agg keeps map-side
-partial aggregation."""
+read schema, the shipped winners-first merge keeps content off every
+shuffle but the single winner-width exchange and broadcasts (never
+sort-merges) its joins, salted agg keeps map-side partial
+aggregation."""
 
 from pyspark.sql import functions as F, Window
 

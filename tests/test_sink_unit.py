@@ -284,3 +284,23 @@ def test_declared_columns_skip_probe_and_store_values(spark, tmp_path):
     a = sorted(tuple(r) for r in dyn.read().select(*cols).collect())
     b = sorted(tuple(r) for r in decl.read().select(*cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_null_key_rows_dropped_identically_on_both_paths(spark, tmp_path):
+    """Rows with a NULL key column (quarantine's job upstream) are
+    DROPPED by the merge, with identical stats, on the broadcast AND
+    bulk paths — not an accident of join-vs-groupBy NULL semantics."""
+    rows = [
+        [1, "I", "r", "a", "c1", "py", "v1"],
+        [2, "I", None, "b", "c2", "py", "v2"],   # null repo
+        [3, "I", "r", None, "c3", "py", "v3"],   # null path
+    ]
+    for limit, path_name in [(1_000_000, "broadcast"), (0, "bulk")]:
+        sink = LakehouseSink(spark, str(tmp_path / path_name), n_buckets=2,
+                             broadcast_key_limit=limit)
+        sink.ensure()
+        m = sink.merge(_df(spark, rows), 0)
+        assert m["merge_path"] == path_name
+        got = [tuple(r) for r in sink.read().select("repo", "path").collect()]
+        assert got == [("r", "a")], (path_name, got)
+        assert m["rows_in"] == 1 and m["upserts"] == 1, (path_name, m)
