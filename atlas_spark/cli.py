@@ -225,7 +225,14 @@ def cmd_compact(args) -> int:
         return 2
     cfg = load_config(args.config)
     spark, sink, _, _ = _build(cfg)
-    res = sink.compact(drop_tombstones=drop)
+    mfv = getattr(args, "max_file_versions", None)
+    if mfv is not None and drop:
+        print("config error: --max-file-versions (selective) cannot be "
+              "combined with --drop-tombstones (needs a full pass)",
+              file=sys.stderr)
+        spark.stop()
+        return 2
+    res = sink.compact(drop_tombstones=drop, max_file_versions=mfv)
     print(f"compacted: {res}")
     spark.stop()
     return 0
@@ -252,6 +259,9 @@ def main(argv=None) -> int:
                                  "(end-of-replay ONLY; requires --yes)")
             sp.add_argument("--yes", action="store_true",
                             help="confirm the destructive path")
+            sp.add_argument("--max-file-versions", type=int, default=None,
+                            help="selective: fold only buckets holding "
+                                 "more than this many files")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("init")
     sp.add_argument("-o", "--output", default="atlas_spark.toml")

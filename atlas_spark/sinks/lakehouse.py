@@ -696,7 +696,8 @@ class LakehouseSink(Sink):
         return df
 
     def compact(self, epoch_id: int | None = None,
-                drop_tombstones: bool = False) -> dict:
+                drop_tombstones: bool = False,
+                max_file_versions: int | None = None) -> dict:
         """Fold versions (MoR) / rewrite buckets to one file each.
 
         ``drop_tombstones=False`` (the default, safe mid-stream): a
@@ -704,24 +705,148 @@ class LakehouseSink(Sink):
         upsert still has to lose to it.  Pass True only when the
         changelog is fully consumed (end of replay) — the reference's
         analog is a DB DELETE, which has no such window.
+
+        ``max_file_versions``: SELECTIVE compaction — rewrite only
+        buckets holding more than this many files, leave the rest
+        untouched (their manifest entries are kept verbatim).  On a
+        long MoR stream this bounds each compaction to the buckets
+        that actually accumulated versions instead of rewriting the
+        whole table every time (Iceberg's binpack-rewrite analog).
+        Incompatible with ``drop_tombstones`` (a global guarantee
+        needs a global pass).
         """
         m = self.manifest()
         eid = epoch_id if epoch_id is not None else m["committed_epoch_max"]
-        live = (
-            self.read(include_tombstones=not drop_tombstones)
-            # numPartitions == n_buckets ⇒ partition id == bucket id:
-            # exactly one file per bucket after the write
-            .repartition(self.n_buckets, F.col("repo"), F.col("path"))
-            .withColumn("_bucket", self._bucket_expr())
-        )
+        if max_file_versions is not None:
+            assert not drop_tombstones, (
+                "drop_tombstones requires a full compaction pass"
+            )
+            targets = {
+                b for b, fl in m["files"].items()
+                if len(fl) > max_file_versions
+            }
+            if not targets:
+                return {"version": m["version"], "buckets": 0}
+            src = self._read_files(
+                [p for b in sorted(targets) for p in m["files"][b]],
+                m["schema"],
+            )
+            if m.get("mode", "cow") == "mor":
+                w = Window.partitionBy(*KEY_COLS).orderBy(
+                    F.col("seq").desc(), F.col("commit").asc_nulls_first()
+                )
+                src = (
+                    src.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+            live = (
+                src.repartition(self.n_buckets, F.col("repo"), F.col("path"))
+                .withColumn("_bucket", self._bucket_expr())
+            )
+        else:
+            targets = None
+            live = (
+                self.read(include_tombstones=not drop_tombstones)
+                # numPartitions == n_buckets ⇒ partition id == bucket
+                # id: exactly one file per bucket after the write
+                .repartition(self.n_buckets, F.col("repo"), F.col("path"))
+                .withColumn("_bucket", self._bucket_expr())
+            )
         new_files, _ = self._write_buckets(live, eid)
-        files = {b: new_files.get(b, []) for b in m["files"]}
-        files.update(new_files)
+        if targets is not None:
+            files = dict(m["files"])
+            for b in targets:
+                files[b] = new_files.get(b, [])
+        else:
+            files = {b: new_files.get(b, []) for b in m["files"]}
+            files.update(new_files)
         m2 = dict(m)
         m2["version"] = m["version"] + 1
         m2["files"] = files
         self._write_manifest(m2)
-        return {"version": m2["version"], "buckets": len(new_files)}
+        return {
+            "version": m2["version"],
+            "buckets": len(targets) if targets is not None else len(new_files),
+        }
+
+    def lookup(self, repo: str, path: str,
+               include_tombstones: bool = False) -> DataFrame:
+        """Point lookup (S4 analog): read ONLY the key's bucket files
+        (manifest-level pruning — at 100 TB this touches one bucket's
+        few GB, not the lake) and resolve the newest version.  The
+        within-file (repo, path) sort gives parquet min/max row-group
+        pruning on top."""
+        m = self.manifest()
+        one = self.spark.createDataFrame([(repo, path)], "repo string, path string")
+        bucket = str(one.select(self._bucket_expr().alias("b")).collect()[0]["b"])
+        files = m["files"].get(bucket, [])
+        schema = _ddl([tuple(x) for x in m["schema"]])
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self._read_files(files, m["schema"]).filter(
+            (F.col("repo") == repo) & (F.col("path") == path)
+        )
+        if m.get("mode", "cow") == "mor":
+            w = Window.partitionBy(*KEY_COLS).orderBy(
+                F.col("seq").desc(), F.col("commit").asc_nulls_first()
+            )
+            df = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        if not include_tombstones:
+            df = df.filter(~F.col("is_deleted"))
+        return df
+
+    def diff(self, from_version: int,
+             to_version: int | None = None) -> DataFrame:
+        """Change-data-feed between two committed snapshots (Delta CDF
+        / Iceberg changelog-scan analog): one full-outer join on the
+        key over the two states, emitting ``_change ∈ {I, U, D}`` plus
+        the newer row's columns.
+
+        * I — key live in ``to`` but not in ``from``;
+        * U — live in both with a different ``content_sha256`` (or a
+          re-upsert with a newer seq and same bytes is NOT emitted —
+          byte-identical state is no change);
+        * D — live in ``from`` but tombstoned/absent in ``to``.
+
+        Both snapshot reads are bucket-pruned scans; the join shuffles
+        on the bucketing key, so co-location holds at scale.  Data
+        files are immutable and every version's manifest is retained,
+        so any (from, to) pair of committed versions works."""
+        old = self.read(include_tombstones=True, version=from_version)
+        new = self.read(include_tombstones=True, version=to_version)
+        o = old.select(
+            *KEY_COLS,
+            F.col("content_sha256").alias("_o_sha"),
+            (~F.col("is_deleted")).alias("_o_live"),
+        )
+        keep = [c for c in new.columns if c not in KEY_COLS]
+        n = new.select(
+            *KEY_COLS,
+            (~F.col("is_deleted")).alias("_n_live"),
+            F.struct(*keep).alias("_n"),
+        )
+        j = o.join(n, KEY_COLS, "full_outer")
+        o_live = F.coalesce(F.col("_o_live"), F.lit(False))
+        n_live = F.coalesce(F.col("_n_live"), F.lit(False))
+        change = (
+            F.when(~o_live & n_live, F.lit("I"))
+            .when(
+                o_live & n_live
+                & ~(F.col("_o_sha").eqNullSafe(F.col("_n.content_sha256"))),
+                F.lit("U"),
+            )
+            .when(o_live & ~n_live, F.lit("D"))
+        )
+        return (
+            j.withColumn("_change", change)
+            .filter(F.col("_change").isNotNull())
+            .select("_change", *KEY_COLS, "_n.*")
+        )
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.manifest()["watermarks"])

@@ -139,3 +139,74 @@ def test_mor_merge_never_reads_existing(spark, tmp_path, monkeypatch):
     a = sorted(tuple(r) for r in mor.read().select("path", "seq", "content").collect())
     b = sorted(tuple(r) for r in cow.read().select("path", "seq", "content").collect())
     assert a == b
+
+
+def test_selective_compaction_rewrites_only_overversioned_buckets(spark, tmp_path):
+    """compact(max_file_versions=K) must fold ONLY buckets holding
+    more than K files; untouched buckets keep their manifest entries
+    verbatim; table state is identical before/after."""
+    from atlas_spark.sinks import LakehouseSink
+
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    sink.ensure()
+
+    def df(seq, paths):
+        return spark.createDataFrame(
+            [(seq, "U", "r", p, f"c{seq}", "py", f"v{seq}-{p}") for p in paths],
+            "seq bigint, op string, repo string, path string, commit string, "
+            "lang string, content string",
+        )
+
+    # epoch 0 touches many keys; epochs 1-3 hammer ONE key → its
+    # bucket accumulates versions, the others stay at 1 file
+    sink.merge(df(1, [f"p{i}" for i in range(12)]), 0)
+    for e in range(1, 4):
+        sink.merge(df(e + 1, ["p0"]), e)
+    m_before = sink.manifest()
+    hot = [b for b, fl in m_before["files"].items() if len(fl) > 1]
+    cold = [b for b, fl in m_before["files"].items() if len(fl) == 1]
+    assert hot and cold
+    before = sorted(tuple(r) for r in sink.read()
+                    .select("path", "seq", "content").collect())
+
+    res = sink.compact(max_file_versions=1)
+    m_after = sink.manifest()
+    assert res["buckets"] == len(hot)
+    for b in cold:  # untouched buckets: file lists verbatim
+        assert m_after["files"][b] == m_before["files"][b]
+    for b in hot:   # folded buckets: one file, new path
+        assert len(m_after["files"][b]) == 1
+        assert m_after["files"][b] != m_before["files"][b]
+    after = sorted(tuple(r) for r in sink.read()
+                   .select("path", "seq", "content").collect())
+    assert before == after
+
+    # nothing over the threshold → no-op, no version bump
+    v = m_after["version"]
+    assert sink.compact(max_file_versions=1) == {"version": v, "buckets": 0}
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """lookup() reads only the key's bucket files and resolves LWW +
+    tombstones in both modes."""
+    from atlas_spark.sinks import LakehouseSink
+
+    for mode in ("cow", "mor"):
+        sink = LakehouseSink(spark, str(tmp_path / mode), n_buckets=8,
+                             mode=mode)
+        sink.ensure()
+        rows = [(i, "I", f"r{i}", f"p{i}", f"c{i}", "py", f"v{i}")
+                for i in range(30)]
+        sink.merge(spark.createDataFrame(
+            rows, "seq bigint, op string, repo string, path string, "
+                  "commit string, lang string, content string"), 0)
+        sink.merge(spark.createDataFrame(
+            [(100, "U", "r3", "p3", "cN", "py", "vN"),
+             (101, "D", "r4", "p4", None, None, None)],
+            "seq bigint, op string, repo string, path string, "
+            "commit string, lang string, content string"), 1)
+        got = sink.lookup("r3", "p3").collect()
+        assert len(got) == 1 and got[0]["commit"] == "cN", mode
+        assert sink.lookup("r4", "p4").count() == 0, mode          # deleted
+        assert sink.lookup("r4", "p4", include_tombstones=True).count() == 1
+        assert sink.lookup("rX", "nope").count() == 0, mode

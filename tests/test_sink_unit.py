@@ -304,3 +304,29 @@ def test_null_key_rows_dropped_identically_on_both_paths(spark, tmp_path):
         got = [tuple(r) for r in sink.read().select("repo", "path").collect()]
         assert got == [("r", "a")], (path_name, got)
         assert m["rows_in"] == 1 and m["upserts"] == 1, (path_name, m)
+
+
+def test_snapshot_diff_change_data_feed(spark, tmp_path):
+    """diff(v_from, v_to) emits exactly the I/U/D set between two
+    committed snapshots; byte-identical re-upserts are NOT changes."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [
+        [1, "I", "r", "a", "c1", "py", "va"],
+        [2, "I", "r", "b", "c2", "py", "vb"],
+        [3, "I", "r", "c", "c3", "py", "vc"],
+    ]), 0)
+    v1 = sink.manifest()["version"]
+    sink.merge(_df(spark, [
+        [10, "U", "r", "b", "cB", "py", "vb2"],   # content change → U
+        [11, "D", "r", "c", None, None, None],    # delete → D
+        [12, "I", "r", "d", "cD", "py", "vd"],    # new key → I
+        [13, "U", "r", "a", "cA", "py", "va"],    # same bytes → no change
+    ]), 1)
+    v2 = sink.manifest()["version"]
+
+    got = {(r["_change"], r["path"]): r for r in sink.diff(v1, v2).collect()}
+    assert set(got) == {("U", "b"), ("D", "c"), ("I", "d")}
+    assert got[("U", "b")]["content"] == "vb2"
+    assert got[("I", "d")]["commit"] == "cD"
+    assert sink.diff(v1, v1).count() == 0
+    assert {r["_change"] for r in sink.diff(0, v2).collect()} == {"I"}
