@@ -66,12 +66,17 @@ def changelogs(draw):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(changelog=changelogs(), files=st.integers(min_value=1, max_value=4))
-def test_replay_equals_oracle(spark, tmp_path_factory, changelog, files):
+@given(changelog=changelogs(), files=st.integers(min_value=1, max_value=4),
+       bulk=st.booleans(), mode=st.sampled_from(["cow", "mor"]))
+def test_replay_equals_oracle(spark, tmp_path_factory, changelog, files,
+                              bulk, mode):
     tmp = tmp_path_factory.mktemp("prop")
     log_dir = str(tmp / "log")
     write_changelog(changelog, log_dir, n_files=files)
-    sink = LakehouseSink(spark, str(tmp / "t"), n_buckets=4)
+    # fuzz all four merge shapes: broadcast/bulk × cow/mor — the
+    # adversarial changelog must fold identically on every path
+    sink = LakehouseSink(spark, str(tmp / "t"), n_buckets=4, mode=mode,
+                         broadcast_key_limit=0 if bulk else None)
     sink.ensure()
     ReplayRunner(spark, sink, files_per_epoch=2).run(log_dir)
 
