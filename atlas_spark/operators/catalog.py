@@ -506,6 +506,61 @@ def q_cdc_fold(spark, sf_dir):
     )
 
 
+def q_state_diff(spark, sf_dir):
+    """Change-data-feed semantics as one SQL-expressible query — the
+    oracle-checkable twin of ``LakehouseSink.diff`` (snapshot I/U/D):
+    fold the event stream to per-key LWW state at two watermarks
+    (event_id < 5000 vs all), full-outer join on the key, classify:
+
+    * I — live at W2 only; U — live at both with a different last
+      event; D — live at W1, tombstoned (final 'error') at W2.
+    D rows carry NULL state columns, mirroring the sink's tombstones.
+    One window per snapshot + one key join — no content-bearing
+    shuffle beyond the winners, same shape as the sink path."""
+    ev = _events(spark, sf_dir)
+
+    def state(df):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "event_id", "event_type",
+                (F.col("event_type") != "error").alias("live"),
+            )
+        )
+
+    o = state(ev.filter(F.col("event_id") < 5000)).alias("o")
+    n = state(ev).alias("n")
+    j = o.join(n, "user_id", "full_outer")
+    o_live = F.coalesce(F.col("o.live"), F.lit(False))
+    n_live = F.coalesce(F.col("n.live"), F.lit(False))
+    change = (
+        F.when(~o_live & n_live, F.lit("I"))
+        .when(
+            o_live & n_live
+            & (F.col("o.event_id") != F.col("n.event_id")),
+            F.lit("U"),
+        )
+        .when(o_live & ~n_live, F.lit("D"))
+    )
+    live_or_null = lambda c: F.when(  # noqa: E731
+        F.col("_change") != "D", F.col(c)
+    )
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(
+            F.col("_change").alias("change"),
+            "user_id",
+            live_or_null("n.event_id").alias("last_event_id"),
+            live_or_null("n.event_type").alias("last_type"),
+        )
+    )
+
+
 def q_daily_counts(spark, sf_dir):
     """§2.6 date functions: per-day event counts (time_committed
     bucketing analog — watermark cadence reporting)."""
@@ -673,6 +728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_langid": q_langid,
     "q_fingerprint": q_fingerprint,
     "q_cdc_fold": q_cdc_fold,
+    "q_state_diff": q_state_diff,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
     "q_format_key": q_format_key,
@@ -850,6 +906,36 @@ ORACLES: dict[str, str] = {
                md5(array_to_string(list_sort(list_distinct(
                    string_split(text, ' '))), ' ')) AS vocab_fp
         FROM documents
+    """,
+    "q_state_diff": """
+        WITH s1 AS (SELECT user_id, event_id, ts, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) rn
+                    FROM events WHERE event_id < 5000),
+        o AS (SELECT user_id, event_id,
+                     (event_type != 'error') AS live
+              FROM s1 WHERE rn = 1),
+        s2 AS (SELECT user_id, event_id, ts, event_type,
+                      row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts DESC, event_id DESC) rn
+               FROM events),
+        n AS (SELECT user_id, event_id, event_type,
+                     (event_type != 'error') AS live
+              FROM s2 WHERE rn = 1),
+        j AS (SELECT coalesce(o.user_id, n.user_id) AS user_id,
+                     o.event_id AS oe, coalesce(o.live, false) AS ol,
+                     n.event_id AS ne, n.event_type AS nt,
+                     coalesce(n.live, false) AS nl
+              FROM o FULL OUTER JOIN n ON o.user_id = n.user_id),
+        c AS (SELECT *,
+                     CASE WHEN NOT ol AND nl THEN 'I'
+                          WHEN ol AND nl AND oe != ne THEN 'U'
+                          WHEN ol AND NOT nl THEN 'D' END AS change
+              FROM j)
+        SELECT change, user_id,
+               CASE WHEN change != 'D' THEN ne END AS last_event_id,
+               CASE WHEN change != 'D' THEN nt END AS last_type
+        FROM c WHERE change IS NOT NULL
     """,
     "q_cdc_fold": """
         SELECT user_id, event_id AS last_event_id,
