@@ -208,6 +208,7 @@ class ReplayRunner:
         quarantine: bool = False,
         rejects_dir: str | None = None,
         compact_every: int | None = None,
+        compact_max_file_versions: int | None = None,
         transform=None,
     ):
         self.spark = spark
@@ -220,8 +221,13 @@ class ReplayRunner:
         self.rejects_dir = rejects_dir
         # copy-on-write sinks accumulate one file per (epoch, touched
         # bucket); periodic compaction caps read amplification on long
-        # streams (no reference analog — its sink is a DB)
+        # streams (no reference analog — its sink is a DB).  With
+        # ``compact_max_file_versions`` set, each pass is SELECTIVE:
+        # only buckets over the version threshold are rewritten —
+        # bounded work per pass on a 10^10-event stream instead of a
+        # full-table rewrite every K epochs.
         self.compact_every = compact_every
+        self.compact_max_file_versions = compact_max_file_versions
         # optional per-batch DataFrame→DataFrame hook applied before the
         # merge — the anonymize step plugs in here (atlas engine.rs
         # transform_and_anonymize analog, batch.rs:191-271)
@@ -497,7 +503,9 @@ class ReplayRunner:
                 and s.epochs_applied % self.compact_every == 0
                 and hasattr(self.sink, "compact")
             ):
-                self.sink.compact()
+                self.sink.compact(
+                    max_file_versions=self.compact_max_file_versions
+                )
         s.duration_s = time.monotonic() - t0
         return s
 
