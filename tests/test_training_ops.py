@@ -328,3 +328,18 @@ def test_embedding_neardups_ivf_multiprobe_recall(spark):
     r2 = len(p2) / len(truth)
     assert r2 >= r1
     assert r2 >= 0.8, f"nprobe=2 recall {r2} (nprobe=1: {r1})"
+
+
+def test_simhash_near_dups_single_scan(spark):
+    """The group-by-band rework must scan the corpus ONCE (the r02
+    band self-join re-scanned and re-simhashed both sides — HOF
+    lambdas defeat exchange-reuse)."""
+    from atlas_spark.operators.similarity import simhash_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    plan = simhash_near_dups(docs)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert plan.count("LogicalRDD") == 1, plan
