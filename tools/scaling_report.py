@@ -157,7 +157,7 @@ Same job, same input ({events:,} change events, 64 parquet files,
 {res[WIDTHS[0]]['epochs']} epochs, schema evolution + 5% deletes + 20% hot-repo skew +
 1% duplicate delivery), identical code, one JVM per width with
 steady-state warmups (untimed replays until run-to-run improvement
-< 15%, max 5, then BEST of 3 timed runs — a 10^10-event stream runs
+< 15%, max 5, then BEST of 5 timed runs — a 10^10-event stream runs
 thousands of epochs, so sustained steady state is the honest number;
 all raw run times are in the JSON below).
 
