@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "q_embedding_topk",
     "q_json_extract",
     "q_salted_agg",
+    "q_state_diff",
 ]
 
 
