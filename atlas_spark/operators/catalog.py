@@ -412,24 +412,22 @@ def q_embedding_neardup_ivf(spark, sf_dir):
     q_embedding_neardup, which is the deliberately-bounded oracle demo
     of the same values).  lowid centroids + 6-dp-rounded argmax keep
     the cell assignment DuckDB-reproducible, so this one is fully
-    oracle-checked end-to-end."""
-    from .similarity import IvfIndex, _cos_cols_sql
+    oracle-checked end-to-end — INCLUDING the max_cell_size skew cap
+    (VERDICT r03 #3): 40 binds at sf0.01 (the largest cell holds 42
+    vectors), so the oracle proves the capped path, not just the happy
+    path.  The oracle mirrors the cap with a HAVING on per-cell
+    counts."""
+    from .similarity import embedding_neardups_ivf
 
     e = _t(spark, sf_dir, "embeddings")
-    idx = IvfIndex(n_cells=16, nprobe=1)
-    asg = idx.build(e, centroids="lowid").select("vec_id", "embedding", "_cell")
-    a, b = asg.alias("a"), asg.alias("b")
-    cos = F.expr(_cos_cols_sql("a.embedding", "b.embedding"))
-    return (
-        a.join(b, F.col("a._cell") == F.col("b._cell"))
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos, 3).alias("cos_sim"),
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the cap warning is expected here
+        return embedding_neardups_ivf(
+            e, threshold=0.3, n_cells=16, centroids="lowid",
+            nprobe=1, max_cell_size=40,
         )
-        .filter(F.col("cos_sim") >= 0.3)
-    )
 
 
 def q_token_count(spark, sf_dir):
@@ -1003,7 +1001,9 @@ _COS_DD = (
 )
 
 # q_embedding_neardup_ivf oracle: same lowid cell assignment as
-# q_ivf_ann, then pairs joined within cell with rounded cosine.
+# q_ivf_ann, then pairs joined within cell with rounded cosine; the
+# `ok` CTE mirrors the Spark side's max_cell_size=40 skew cap (cells
+# over the cap are dropped from pairing on both sides).
 ORACLES["q_embedding_neardup_ivf"] = f"""
     WITH c AS (SELECT vec_id AS ci, embedding::DOUBLE[] AS ce
                FROM embeddings WHERE vec_id < 16),
@@ -1012,11 +1012,13 @@ ORACLES["q_embedding_neardup_ivf"] = f"""
                  ORDER BY {_COS_DD.format(a='c.ce', b='e.embedding::DOUBLE[]', r=6)}
                    DESC, ci
                  LIMIT 1) AS cell
-              FROM embeddings e)
+              FROM embeddings e),
+    ok AS (SELECT cell FROM cells GROUP BY cell HAVING count(*) <= 40)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {_COS_DD.format(a='a.v', b='b.v', r=3)} AS cos_sim
     FROM cells a JOIN cells b
       ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN ok ON ok.cell = a.cell
     WHERE {_COS_DD.format(a='a.v', b='b.v', r=3)} >= 0.3
 """
 

@@ -158,6 +158,40 @@ class IvfIndex:
         cand = self.assigned.filter(F.col("_cell").isin(cells))
         return brute_force_topk(cand, vec, k, self.id_col, self.emb_col)
 
+    def search_many(self, queries: DataFrame, k: int = 10,
+                    query_id_col: str = "query_id") -> DataFrame:
+        """Batched ANN (VERDICT r03 #5): one DataFrame of query vectors
+        in, per-query top-k out — no driver-side loop over queries.
+
+        Shape: each query row is exploded to its ``nprobe`` nearest
+        cells (the same `_topn_cells_expr` used by multi-probe
+        near-dups, evaluated JVM-side), equi-joined to the assigned
+        table ON the cell id, exact cosine inside the probed cells,
+        then a per-query ``row_number`` window keeps the top ``k``.
+        At scale the cell equi-join is the partition-pruned scan; the
+        window partitions by query id so state is O(k) per query.
+        The query side is the small side — broadcast it."""
+        from pyspark.sql import Window
+
+        assert self.assigned is not None, "call build() first"
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(self.emb_col).alias("_q_emb"),
+            F.explode(self._topn_cells_expr(self.nprobe)).alias("_cell"),
+        )
+        cos = F.expr(_cos_cols_sql("_q_emb", self.emb_col))
+        w = (
+            Window.partitionBy(query_id_col)
+            .orderBy(F.col("cos_sim").desc(), F.col(self.id_col).asc())
+        )
+        return (
+            self.assigned.join(F.broadcast(q), "_cell")
+            .select(query_id_col, self.id_col, cos.alias("cos_sim"))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+
     def search_threshold(self, vec, threshold: float = 0.2,
                          exclude_id=None) -> DataFrame:
         """All vectors in the probed cells with rounded cosine ≥
@@ -193,18 +227,35 @@ def embedding_neardups_ivf(df: DataFrame, threshold: float = 0.5,
                            id_col: str = "vec_id",
                            emb_col: str = "embedding",
                            centroids: str = "kmeans",
-                           nprobe: int = 1) -> DataFrame:
+                           nprobe: int = 1,
+                           max_cell_size: int = 100_000) -> DataFrame:
     """Embedding-cosine near-dup pairs, cell-bounded (VERDICT r01 #3:
     the composed API a user reaches for must never be a cartesian
     product).  Vectors are assigned to IVF cells; candidate pairs come
     from a self-equi-join ON the cell id — at scale the cell is the
     partition column, so each join task touches one cell's vectors.
 
+    ``max_cell_size`` (VERDICT r03 #3): the cell equi-join enumerates
+    |cell|² pairs, so a degenerate corpus (near-identical embeddings,
+    a collapsed k-means cell) would concentrate into one cell and
+    explode quadratically — exactly the failure every band path
+    already caps.  Cells over the cap are DROPPED from pairing (both
+    join sides), recall degrades instead of the job dying; dropped
+    cells are reported via a Python warning naming cell id + size.
+    The per-cell count is a tiny agg (≤ n_cells rows), broadcast back
+    as the filter.  Run exact dedup first so identical vectors cannot
+    form a mega-cell.
+
     ``nprobe`` (multi-probe, VERDICT r02 #8): at 1, a near-dup pair
     straddling a cell boundary is missed (standard IVF tradeoff).  At
     n > 1 each vector ALSO joins through its n nearest cells, closing
-    the boundary-recall gap at ~n× join fan-out: a pair is found when
-    either member's primary cell is among the other's top-n cells.
+    the boundary-recall gap at ~n× join fan-out.  Both orientations
+    are kept (ADVICE r03: an `a.id < b.id` pre-filter silently dropped
+    pairs where only the higher id's primary cell was probed by the
+    lower id) — the join filters `a.id != b.id`, pairs are normalized
+    with least/greatest, and dropDuplicates dedups the two
+    orientations: a pair IS found whenever either member's primary
+    cell is among the other's top-n cells, independent of id order.
     True near-dups (cos → 1) land in the same cell for any reasonable
     quantizer, so nprobe=1 stays the cheap default.
     """
@@ -213,21 +264,44 @@ def embedding_neardups_ivf(df: DataFrame, threshold: float = 0.5,
     asg = idx.build(df, centroids=centroids).select(
         id_col, emb_col, "_cell"
     )
+    sizes = asg.groupBy("_cell").count()
+    dropped = sizes.filter(F.col("count") > max_cell_size).collect()
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            "embedding_neardups_ivf: dropped oversized cells (cap "
+            f"{max_cell_size}): "
+            + ", ".join(f"cell {r['_cell']}={r['count']}" for r in dropped)
+            + " — recall degrades; consider exact-dedup first or more cells",
+            stacklevel=2,
+        )
+        ok = F.broadcast(
+            sizes.filter(F.col("count") <= max_cell_size).select("_cell")
+        )
+        asg = asg.join(ok, "_cell")
     a = asg.alias("a")
     if nprobe > 1:
         b = idx.assigned.select(
             id_col, emb_col,
             F.explode(idx._topn_cells_expr(nprobe)).alias("_cell"),
         ).alias("b")
+        if dropped:
+            b = b.join(ok, "_cell").alias("b")
+        pair_filter = F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
     else:
         b = asg.alias("b")
+        # symmetric join: a<b alone enumerates each unordered pair once
+        pair_filter = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     cos = F.expr(_cos_cols_sql(f"a.{emb_col}", f"b.{emb_col}"))
     out = (
         a.join(b, F.col("a._cell") == F.col("b._cell"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(pair_filter)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_b"),
             F.round(cos, 3).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

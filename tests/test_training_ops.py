@@ -343,3 +343,97 @@ def test_simhash_near_dups_single_scan(spark):
     plan = simhash_near_dups(docs)._jdf.queryExecution() \
         .optimizedPlan().toString()
     assert plan.count("LogicalRDD") == 1, plan
+
+
+def test_embedding_neardups_ivf_cell_cap_pathological(spark):
+    """VERDICT r03 #3: a degenerate corpus (all-identical embeddings →
+    every vector in ONE cell) must complete with the mega-cell dropped
+    and a warning, not enumerate |cell|² pairs."""
+    import warnings
+
+    from atlas_spark.operators.similarity import embedding_neardups_ivf
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(400)],
+        "vec_id int, embedding array<double>",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = embedding_neardups_ivf(
+            df, threshold=0.9, n_cells=4, centroids="lowid",
+            max_cell_size=100,
+        ).collect()
+    assert got == []                       # the only cell was dropped
+    msgs = [str(w.message) for w in caught
+            if "dropped oversized cells" in str(w.message)]
+    assert msgs and "=400" in msgs[0], msgs
+    # same corpus under the default cap still works (sanity: the cap
+    # is the only thing between this shape and |cell|² = 160k pairs)
+    n = embedding_neardups_ivf(
+        df.filter("vec_id < 30"), threshold=0.9, n_cells=4,
+        centroids="lowid",
+    ).count()
+    assert n == 30 * 29 // 2
+
+
+def test_embedding_neardups_ivf_id_label_invariance(spark):
+    """ADVICE r03 (medium): multi-probe recall must not depend on
+    arbitrary id labeling.  Relabel ids in reverse order; the pair set
+    (mapped back) must be identical — the old `a.id < b.id` pre-filter
+    kept only the orientation where the LOWER id's primary cell was in
+    the HIGHER id's probe list, so reversing labels changed results."""
+    import numpy as np
+
+    from atlas_spark.operators.similarity import embedding_neardups_ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(3, 8))
+    rows = []
+    for ci, c in enumerate(centers):
+        for j in range(15):
+            v = c + 0.3 * rng.normal(size=8)
+            rows.append((ci * 100 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    hi = max(r[0] for r in rows)
+    flipped = spark.createDataFrame(
+        [(hi - i, v) for i, v in rows], "vec_id int, embedding array<double>"
+    )
+
+    def pairset(frame):
+        got = embedding_neardups_ivf(frame, threshold=0.8, n_cells=6,
+                                     centroids="kmeans", nprobe=2)
+        return {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+    orig = pairset(df)
+    remapped = {tuple(sorted((hi - a, hi - b))) for a, b in pairset(flipped)}
+    assert orig == remapped, (sorted(orig - remapped),
+                              sorted(remapped - orig))
+
+
+def test_ivf_search_many_matches_search(spark, emb):
+    """VERDICT r03 #5: the batched search path must return exactly the
+    per-query search() results, with no driver loop."""
+    from atlas_spark.operators.similarity import IvfIndex
+
+    qids = [3, 7, 42, 150, 404]
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    idx = IvfIndex(n_cells=8, nprobe=3)
+    idx.build(emb, centroids="kmeans")
+
+    queries = spark.createDataFrame(
+        [(qid, vecs[qid]) for qid in qids],
+        "query_id int, embedding array<double>",
+    )
+    batched = idx.search_many(queries, k=5)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["cos_sim"], 9))
+        )
+    for qid in qids:
+        single = [(r["vec_id"], round(r["cos_sim"], 9))
+                  for r in idx.search(vecs[qid], k=5).collect()]
+        assert sorted(got[qid]) == sorted(single), qid
