@@ -115,7 +115,7 @@ class Anonymizer:
         #   (the reference gates per-detection scores in its detector,
         #   not whole requested categories, detector/patterns/mod.rs).
         # * ``active`` — the detection/report surface (detect, report,
-        #   detect_entities, audit), where the reference's 0.7
+        #   detect_entities), where the reference's 0.7
         #   confidence gate applies: low-confidence categories don't
         #   pollute match counts and audit logs unless the caller
         #   lowers the threshold.
@@ -131,7 +131,7 @@ class Anonymizer:
             warnings.warn(
                 f"confidence_threshold={self.confidence_threshold} "
                 f"deactivates {dropped} on DETECTION paths only "
-                "(detect/report/detect_entities/audit); redact/tokenize "
+                "(detect/report/detect_entities); redact/tokenize/audit "
                 "still cover every requested category",
                 stacklevel=2,
             )
@@ -262,6 +262,14 @@ class Anonymizer:
         """A7: hashed audit log — every detected value, SHA-256-hashed
         (never the plaintext), with its category and source key.
 
+        Iterates ``protected`` (NOT ``active``): the audit log is the
+        compliance trail of what redact/tokenize actually mutate, and
+        those paths cover every requested category regardless of the
+        confidence gate — an audit over ``active`` would understate
+        the mutations for a below-threshold requested category
+        (ADVICE r03).  Detection *reporting* (detect/report/
+        detect_entities) stays gated.
+
         ONE scan: every category's ``regexp_extract_all`` rides a
         single projection as an array of (category, value) structs,
         flattened and exploded once (the r02 shape unioned one
@@ -281,7 +289,7 @@ class Anonymizer:
                 F.regexp_extract_all(F.col(col), F.lit(PATTERNS[cat]), 0),
                 _tag(cat),
             )
-            for cat in self.active
+            for cat in self.protected
         ]
         return (
             df.select(

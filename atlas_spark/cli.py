@@ -59,6 +59,8 @@ def _build(cfg):
         dry_run=cfg.run.dry_run,
         quarantine=cfg.run.quarantine,
         rejects_dir=f"{cfg.sink.table_root}/_control/rejects",
+        compact_every=cfg.run.compact_every,
+        compact_max_file_versions=cfg.run.compact_max_file_versions,
         transform=transform,
     )
     return spark, sink, control, runner
@@ -110,7 +112,12 @@ def cmd_replay(args) -> int:
             )
             spark.stop()
             return 2
-        runner.record_fingerprint(planned)
+        # Do NOT record the new identity here (ADVICE r03): if the
+        # epoch-plan guard or the full-mode refusal below aborts the
+        # run, a recorded-but-unapplied identity makes a retry against
+        # the ORIGINAL changelog spuriously mismatch.  run() records it
+        # after the epoch-plan guard passes.
+        runner.accept_new_fingerprint = True
     if cfg.source.mode == "full" and sink.last_committed_epoch() >= 0:
         # full replay = from-scratch rebuild; refusing to silently wipe
         # or double-apply an existing table (coordinator.rs:454-458

@@ -86,6 +86,11 @@ class RunConfig:
     anonymize: bool = False
     anonymize_mode: str = "hipaa"
     anonymize_strategy: str = "redact"
+    # run sink.compact() every K applied epochs (None = never); with
+    # compact_max_file_versions set each pass is selective — only
+    # buckets over the version threshold are rewritten
+    compact_every: int | None = None
+    compact_max_file_versions: int | None = None
 
     def validate(self) -> list[str]:
         errs = []
@@ -93,6 +98,13 @@ class RunConfig:
             errs.append("run.anonymize_mode must be hipaa|gdpr")
         if self.anonymize_strategy not in ("redact", "tokenize"):
             errs.append("run.anonymize_strategy must be redact|tokenize")
+        if self.compact_every is not None and self.compact_every < 1:
+            errs.append("run.compact_every must be >= 1")
+        if (
+            self.compact_max_file_versions is not None
+            and self.compact_max_file_versions < 1
+        ):
+            errs.append("run.compact_max_file_versions must be >= 1")
         return errs
 
 
@@ -192,7 +204,10 @@ mode = "incremental"      # full = ignore prior checkpoints
 
 [sink]
 table_root = "/data/lake/repos"
-n_buckets = 64            # raise so one bucket is a few GB at scale
+n_buckets = 64            # raise so one bucket is a few GB at scale;
+                          # any value >= 1 works (bucketing is
+                          # pmod(hash(key), n)) but it is FIXED at
+                          # CREATE TABLE — changing it needs a rebuild
 format = "lakehouse"      # iceberg = MERGE INTO via a real catalog
 merge_mode = "cow"        # mor = append-only merges, resolve at read
 # declared_columns = ["lines:bigint", "committer:string"]  # DDL-ensure:
@@ -208,4 +223,6 @@ quarantine = true
 anonymize = false
 anonymize_mode = "hipaa"
 anonymize_strategy = "redact"
+# compact_every = 8               # sink.compact() every K applied epochs
+# compact_max_file_versions = 4   # selective: only buckets over this
 """

@@ -83,6 +83,22 @@ def _ddl(fields: list[tuple[str, str]]) -> T.StructType:
     )
 
 
+def _parse_mem_bytes(mem: str) -> float | None:
+    """Parse a Spark memory string into bytes.  Spark accepts '2g',
+    '2gb', '512mb', '1.5g', bare bytes … (JavaUtils.byteStringAs) —
+    keep the fractional part and return None on anything that doesn't
+    parse, so callers can fall back instead of raising."""
+    import re
+
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    m = re.fullmatch(
+        r"([0-9]*\.?[0-9]+)\s*([kmgt]?)b?", mem.lower().strip()
+    )
+    if m is None:
+        return None
+    return float(m.group(1)) * units.get(m.group(2), 1)
+
+
 def _explain(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(
         df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -141,13 +157,17 @@ class LakehouseSink(Sink):
             # broadcast path; cap 4 M bounds broadcast-build time.
             # Above the limit the single-shuffle bulk shape takes over
             # with identical semantics (same total order, see below).
-            mem = spark.conf.get("spark.driver.memory", "2g").lower()
-            units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
-            mult = units.get(mem[-1], 1)
-            mem_bytes = int(float(mem[:-1] if mem[-1] in units else mem)) * mult
-            broadcast_key_limit = int(
-                min(4_000_000, max(200_000, mem_bytes * 0.04 / 250))
+            mem_bytes = _parse_mem_bytes(
+                spark.conf.get("spark.driver.memory", "2g")
             )
+            if mem_bytes is None:
+                # a conf-format surprise must never break sink
+                # construction (ADVICE r03: float('2gb') raised here)
+                broadcast_key_limit = 2_000_000
+            else:
+                broadcast_key_limit = int(
+                    min(4_000_000, max(200_000, mem_bytes * 0.04 / 250))
+                )
         self.broadcast_key_limit = broadcast_key_limit
         self.mode = mode
         self._manifest_dir = os.path.join(root, "_manifests")

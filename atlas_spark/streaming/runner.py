@@ -232,6 +232,12 @@ class ReplayRunner:
         # merge — the anonymize step plugs in here (atlas engine.rs
         # transform_and_anonymize analog, batch.rs:191-271)
         self.transform = transform
+        # set by the CLI after the operator confirms a fingerprint
+        # mismatch (--yes / interactive): run() re-records the stream
+        # identity only once the epoch-plan guard has passed, so an
+        # aborted run can't leave the table pointing at a changelog it
+        # never applied (ADVICE r03, cli.cmd_replay)
+        self.accept_new_fingerprint = False
 
     # ------------------------------------------------------------ shared
     def apply_batch(self, df: DataFrame, epoch_id: int,
@@ -462,7 +468,9 @@ class ReplayRunner:
         last = self.sink.last_committed_epoch()
         epochs = self.plan_epochs(changelog_dir)
         self._check_epoch_plan(epochs, last)
-        if not self.dry_run and self.recorded_fingerprint() is None:
+        if not self.dry_run and (
+            self.recorded_fingerprint() is None or self.accept_new_fingerprint
+        ):
             self.record_fingerprint(self.changelog_fingerprint(changelog_dir))
         for epoch_id, files in enumerate(epochs):
             if epoch_id <= last:

@@ -285,3 +285,21 @@ def test_report_shape(spark, docs):
     assert rep["EMAIL"]["total_matches"] == 2
     assert rep["EMAIL"]["docs_with_match"] == 2
     assert rep["SSN"]["total_matches"] == 1
+
+
+def test_audit_covers_below_threshold_requested_category(spark):
+    """ADVICE r03: the audit log records what redact/tokenize MUTATE —
+    a requested below-threshold category (OCCUPATION under the 0.7
+    gate) is redacted, so it must appear in the audit trail even
+    though detection reporting gates it out."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [("d1", CATEGORY_SAMPLES["OCCUPATION"])], "k string, text string"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = Anonymizer(categories=["OCCUPATION", "EMAIL"])
+    assert "OCCUPATION" not in a.active and "OCCUPATION" in a.protected
+    cats = {r["category"] for r in a.audit(df, "text", "k").collect()}
+    assert "OCCUPATION" in cats

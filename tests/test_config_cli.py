@@ -114,3 +114,35 @@ def test_cli_validate_missing_required(tmp_path):
     r = _cli("validate-config", "-c", str(p))
     assert r.returncode == 2
     assert "table_root" in r.stderr
+
+
+def test_compact_config_ranges():
+    """VERDICT r03 #7 (reference schema.rs:374-396 range validation):
+    compaction knobs must be >= 1 when set."""
+    cfg = EngineConfig()
+    cfg.source.changelog_dir = "/x"
+    cfg.sink.table_root = "/y"
+    assert cfg.validate() == []
+    cfg.run.compact_every = 0
+    assert any("compact_every" in e for e in cfg.validate())
+    cfg.run.compact_every = 8
+    cfg.run.compact_max_file_versions = -1
+    assert any("compact_max_file_versions" in e for e in cfg.validate())
+    cfg.run.compact_max_file_versions = 4
+    assert cfg.validate() == []
+
+
+def test_cli_validate_config_exit_2_on_bad_ranges(tmp_path):
+    p = tmp_path / "cfg.toml"
+    p.write_text(
+        '[source]\nchangelog_dir = "/data/log"\n'
+        '[sink]\ntable_root = "/data/t"\n'
+        "[run]\ncompact_every = 0\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "atlas_spark.cli", "validate-config",
+         "-c", str(p)],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 2
+    assert "compact_every" in r.stderr

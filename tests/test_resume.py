@@ -199,3 +199,55 @@ def test_resume_with_changed_epoch_plan_refuses(spark, tmp_path):
     s = ok.run(log_dir)
     assert s.epochs_applied == 2 and s.epochs_skipped == 2
     check_against_oracle(spark, sink, changelog)
+
+
+def test_fingerprint_not_rerecorded_until_plan_guard_passes(spark, tmp_path):
+    """ADVICE r03 (cli): accepting a new stream identity must not
+    record it before the epoch-plan guard — an aborted run would leave
+    the table pointing at a changelog it never applied, making a retry
+    against the ORIGINAL changelog spuriously mismatch."""
+    spec = ChangelogSpec(n_events=200, n_repos=4, paths_per_repo=8)
+    changelog = generate_changelog(spec)
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=4)
+
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=4)
+    sink.ensure()
+    ReplayRunner(spark, sink, files_per_epoch=2).run(log_dir)
+    original_fp = ReplayRunner(spark, sink).recorded_fingerprint()
+    assert original_fp is not None
+
+    # a "rotated" changelog with a different epoch plan (4 files per
+    # epoch) AND different first-epoch identity
+    log2 = str(tmp_path / "changelog2")
+    write_changelog(generate_changelog(
+        ChangelogSpec(n_events=200, n_repos=4, paths_per_repo=8, seed=99)
+    ), log2, n_files=4)
+
+    bad = ReplayRunner(spark, sink, files_per_epoch=4)
+    bad.accept_new_fingerprint = True    # what cmd_replay --yes sets
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="epoch plan mismatch"):
+        bad.run(log2)
+    # the abort must NOT have re-recorded the identity
+    assert ReplayRunner(spark, sink).recorded_fingerprint() == original_fp
+
+    # a retry against the ORIGINAL changelog works without --yes
+    ok = ReplayRunner(spark, sink, files_per_epoch=2)
+    s = ok.run(log_dir)
+    assert s.epochs_applied == 0 and s.epochs_skipped == 2
+
+    # and an accepted run whose guard PASSES does re-record: same file
+    # slicing, different content fingerprint (fresh table dir)
+    root2 = str(tmp_path / "table2")
+    sink2 = LakehouseSink(spark, root2, n_buckets=4)
+    sink2.ensure()
+    ReplayRunner(spark, sink2, files_per_epoch=2).run(log_dir)
+    acc = ReplayRunner(spark, sink2, files_per_epoch=2)
+    acc.accept_new_fingerprint = True
+    acc.run(log2)
+    assert (
+        ReplayRunner(spark, sink2).recorded_fingerprint()
+        == acc.changelog_fingerprint(log2)
+    )

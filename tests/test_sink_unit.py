@@ -330,3 +330,21 @@ def test_snapshot_diff_change_data_feed(spark, tmp_path):
     assert got[("I", "d")]["commit"] == "cD"
     assert sink.diff(v1, v1).count() == 0
     assert {r["_change"] for r in sink.diff(0, v2).collect()} == {"I"}
+
+
+def test_parse_mem_bytes_spark_formats():
+    """ADVICE r03: every format Spark's JavaUtils.byteStringAs accepts
+    must parse (two-letter suffixes, fractional values), and garbage
+    must return None (constructor falls back to the 2M default)."""
+    from atlas_spark.sinks.lakehouse import _parse_mem_bytes
+
+    g = 1 << 30
+    assert _parse_mem_bytes("2g") == 2 * g
+    assert _parse_mem_bytes("2gb") == 2 * g
+    assert _parse_mem_bytes("512mb") == 512 << 20
+    assert _parse_mem_bytes("1024kb") == 1024 << 10
+    assert _parse_mem_bytes("1.5g") == 1.5 * g
+    assert _parse_mem_bytes(" 4G ") == 4 * g
+    assert _parse_mem_bytes("3000") == 3000.0
+    assert _parse_mem_bytes("notamem") is None
+    assert _parse_mem_bytes("") is None
