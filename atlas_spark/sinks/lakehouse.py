@@ -216,10 +216,20 @@ class LakehouseSink(Sink):
 
     def manifest(self, version: int | None = None) -> dict:
         """Current manifest, or a historical one (time travel: every
-        version's manifest is retained, like Iceberg snapshots)."""
+        version's manifest is retained, like Iceberg snapshots).
+
+        The CURRENT pointer is advance-only but only best-effort under
+        concurrent commits (a laggard writer may update it late), so
+        the reader treats it as a hint: it probes FORWARD from the
+        pointed version while ``manifest.<v+1>.json`` exists — the set
+        of exclusively-created manifest files is the commit log, the
+        pointer is a cache (Delta paper §3.2: _last_checkpoint is the
+        same kind of hint)."""
         if version is None:
             with open(self._current) as f:
                 version = int(f.read().strip())
+            while os.path.exists(self._manifest_path(version + 1)):
+                version += 1
         with open(self._manifest_path(version)) as f:
             m = json.load(f)
         # bucket count and merge mode are storage properties: a sink
@@ -229,20 +239,60 @@ class LakehouseSink(Sink):
         self.mode = m.get("mode", "cow")
         return m
 
-    def _write_manifest(self, m: dict) -> None:
+    def _try_publish(self, m: dict) -> bool:
+        """Put-if-absent commit of ``manifest.<version>.json`` (Delta
+        paper §3.2 / VERDICT r03 #2: two concurrent committers must
+        never both claim a version — the loser rebases and retries).
+
+        The manifest is fully written + fsynced to a writer-unique tmp
+        file, then ``os.link``ed into place: link is atomic AND fails
+        with EEXIST if another writer won this version, so a reader can
+        never observe a partial manifest and a version can never be
+        silently clobbered.  Returns False on losing the race.
+
+        The reference gets this from its DB (``ON CONFLICT``,
+        postgresql/adapter.rs:133-144); on S3 the same slot is a
+        put-if-absent conditional PUT or a DynamoDB lock table."""
         path = self._manifest_path(m["version"])
-        tmp = path + ".tmp"
+        tmp = os.path.join(
+            self._manifest_dir, f".tmp.{uuid.uuid4().hex}.json"
+        )
         with open(tmp, "w") as f:
             json.dump(m, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
-        ptr_tmp = self._current + ".tmp"
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        self._advance_current(m["version"])
+        return True
+
+    def _advance_current(self, version: int) -> None:
+        """Advance the CURRENT hint, never regress it: a laggard writer
+        finishing version v after another committed v+1 must not point
+        CURRENT backwards.  The remaining read-check-replace window is
+        benign — manifest() probes forward past a stale pointer."""
+        try:
+            with open(self._current) as f:
+                if int(f.read().strip()) >= version:
+                    return
+        except (FileNotFoundError, ValueError):
+            pass
+        ptr_tmp = self._current + f".tmp.{uuid.uuid4().hex}"
         with open(ptr_tmp, "w") as f:
-            f.write(str(m["version"]))
+            f.write(str(version))
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptr_tmp, self._current)
+
+    def _write_manifest(self, m: dict) -> None:
+        """Single-writer publish for paths with no rebase semantics
+        (version-0 bootstrap).  Losing the race here means another
+        writer created the same table — that's fine, theirs wins."""
+        self._try_publish(m)
 
     def last_committed_epoch(self) -> int:
         return self.manifest()["committed_epoch_max"]
@@ -655,37 +705,69 @@ class LakehouseSink(Sink):
             ]
         return new_files, {}
 
+    @staticmethod
+    def _merge_schema(base: list, extra: list) -> list:
+        """Union two manifest schemas by column name (base order first,
+        type conflicts promoted) — the rebase path's schema merge."""
+        merged = [list(x) for x in base]
+        idx = {n: i for i, (n, _) in enumerate(merged)}
+        for n, t in (tuple(x) for x in extra):
+            if n in idx:
+                merged[idx[n]][1] = _promote(merged[idx[n]][1], t)
+            else:
+                merged.append([n, t])
+        return merged
+
     def _commit(self, m, new_files, wm, fields, epoch_id, rows_in, deletes,
                 replace_files: bool | None = None):
+        """Epoch commit with OCC rebase (VERDICT r03 #2): losing the
+        version race to a concurrent committer (a compaction service, a
+        second runner) re-reads the winner's manifest, re-applies this
+        epoch's file/watermark/schema deltas on top, re-checks the
+        epoch fence, and retries at the next version.  The rebase is
+        sound because the deltas commute with any other committer's:
+        * data files are immutable — a concurrent COMPACTION only
+          changes file layout, so replacing/appending this batch's
+          bucket files over the compacted ones preserves table state
+          (compact's own rebase drops buckets it lost, see compact());
+        * watermarks merge by per-bucket max;
+        * the fence re-check catches a concurrent runner committing the
+          SAME epoch — this writer's files become unreferenced orphans
+          and the epoch reports skipped, exactly-once preserved."""
         replace = self.mode == "cow" if replace_files is None else replace_files
-        files = dict(m["files"])
-        if replace:
-            files.update(new_files)
-        else:  # merge-on-read: new version files APPEND per bucket
-            for b, fl in new_files.items():
-                files[b] = list(files.get(b, [])) + fl
-        watermarks = dict(m["watermarks"])
-        for b, s in wm.items():
-            watermarks[b] = max(int(watermarks.get(b, -1)), s)
-        m2 = {
-            "version": m["version"] + 1,
-            "epoch_id": epoch_id,
-            "committed_epoch_max": max(m["committed_epoch_max"], epoch_id),
-            "n_buckets": m["n_buckets"],
-            "mode": m.get("mode", self.mode),
-            "schema": fields,
-            "files": files,
-            "watermarks": watermarks,
-            "stats": m.get("stats", {}),
-        }
-        self._write_manifest(m2)
-        return {
-            "epoch_id": epoch_id,
-            "skipped": False,
-            "rows": rows_in,
-            "deletes": deletes,
-            "version": m2["version"],
-        }
+        while True:
+            files = dict(m["files"])
+            if replace:
+                files.update(new_files)
+            else:  # merge-on-read: new version files APPEND per bucket
+                for b, fl in new_files.items():
+                    files[b] = list(files.get(b, [])) + fl
+            watermarks = dict(m["watermarks"])
+            for b, s in wm.items():
+                watermarks[b] = max(int(watermarks.get(b, -1)), s)
+            m2 = {
+                "version": m["version"] + 1,
+                "epoch_id": epoch_id,
+                "committed_epoch_max": max(m["committed_epoch_max"], epoch_id),
+                "n_buckets": m["n_buckets"],
+                "mode": m.get("mode", self.mode),
+                "schema": fields,
+                "files": files,
+                "watermarks": watermarks,
+                "stats": m.get("stats", {}),
+            }
+            if self._try_publish(m2):
+                return {
+                    "epoch_id": epoch_id,
+                    "skipped": False,
+                    "rows": rows_in,
+                    "deletes": deletes,
+                    "version": m2["version"],
+                }
+            m = self.manifest()  # rebase on the race winner
+            if epoch_id <= m["committed_epoch_max"]:
+                return {"epoch_id": epoch_id, "skipped": True}
+            fields = self._merge_schema(m["schema"], fields)
 
     # -------------------------------------------------------------- read
     def read(self, include_tombstones: bool = False,
@@ -774,21 +856,34 @@ class LakehouseSink(Sink):
                 .withColumn("_bucket", self._bucket_expr())
             )
         new_files, _ = self._write_buckets(live, eid)
-        if targets is not None:
-            files = dict(m["files"])
-            for b in targets:
-                files[b] = new_files.get(b, [])
-        else:
-            files = {b: new_files.get(b, []) for b in m["files"]}
-            files.update(new_files)
-        m2 = dict(m)
-        m2["version"] = m["version"] + 1
-        m2["files"] = files
-        self._write_manifest(m2)
-        return {
-            "version": m2["version"],
-            "buckets": len(targets) if targets is not None else len(new_files),
-        }
+        rewritten = (
+            set(targets) if targets is not None
+            else set(m["files"]) | set(new_files)
+        )
+        # OCC commit with per-bucket conflict drop (VERDICT r03 #2):
+        # compaction is pure layout optimization, so on losing the
+        # version race to a concurrent INGEST commit it must not
+        # clobber the winner's rows — a compacted bucket is installed
+        # only if its file list is UNCHANGED since this pass read it;
+        # conflicted buckets keep the winner's entry (their rewrite is
+        # stale and simply skipped — always safe, at worst they stay
+        # uncompacted for the next pass).
+        cur = m
+        while True:
+            files = dict(cur["files"])
+            installed = 0
+            for b in rewritten:
+                if cur["files"].get(b, []) == m["files"].get(b, []):
+                    files[b] = new_files.get(b, [])
+                    installed += 1
+            if installed == 0:
+                return {"version": cur["version"], "buckets": 0}
+            m2 = dict(cur)
+            m2["version"] = cur["version"] + 1
+            m2["files"] = files
+            if self._try_publish(m2):
+                return {"version": m2["version"], "buckets": installed}
+            cur = self.manifest()  # rebase on the race winner
 
     def lookup(self, repo: str, path: str,
                include_tombstones: bool = False) -> DataFrame:
