@@ -694,6 +694,46 @@ def q_detect_entities(spark, sf_dir):
                        "confidence", "value_sha256")
 
 
+def q_replay_anonymized(spark, sf_dir):
+    """The composed pipeline as ONE oracle-checkable query (VERDICT
+    r03 #8: the 2.1M ev/s quarantine+redaction bench composition had a
+    throughput number but no green correctness row): per-key LWW fold
+    (documents per ``source``, ``doc_id`` as the seq — the engine's
+    MERGE window) → anonymize transform (redact, the four RE2-safe
+    categories, planted PII so redaction provably fires) → content
+    sha256 over the REDACTED text, the pipeline's per-row invariant.
+
+    In the engine the transform runs per micro-batch BEFORE the merge
+    (runner.apply_batch); folding first is result-equivalent because
+    redaction is row-deterministic and the fold's key and order don't
+    depend on content — this query IS the final replay state."""
+    from ..anonymize import Anonymizer
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_txt",
+        F.expr(
+            "text || ' reach user' || CAST(doc_id AS STRING) || "
+            "'@example.com via https://mirror/' || source || "
+            "' on 2024-03-15 zip 90210-1234'"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").desc())
+    winners = (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    anon = Anonymizer(
+        categories=["EMAIL", "URL", "DATE", "ZIP"], strategy="redact"
+    )
+    red = anon.redact(winners, "_txt")
+    return red.select(
+        "source",
+        F.col("doc_id").alias("winner_doc_id"),
+        F.col("_txt").alias("content_redacted"),
+        F.sha2(F.col("_txt"), 256).alias("content_sha256"),
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -737,6 +777,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_media_features": q_media_features,
     "q_anonymize_report": q_anonymize_report,
     "q_detect_entities": q_detect_entities,
+    "q_replay_anonymized": q_replay_anonymized,
 }
 
 _SHINGLE_SQL = (
@@ -1104,6 +1145,38 @@ def _simhash_oracle() -> str:
 
 
 ORACLES["q_simhash"] = _simhash_oracle()
+
+# q_replay_anonymized oracle: LWW fold → chained regexp_replace in the
+# SAME category order the Spark Anonymizer applies (self.protected =
+# request order) → sha256 of the redacted content.  Patterns come from
+# the shared registry, so the two sides cannot drift.
+
+
+def _replay_anonymized_oracle() -> str:
+    red = "txt"
+    for c in ["EMAIL", "URL", "DATE", "ZIP"]:
+        red = (
+            f"regexp_replace({red}, '{_sqlq(_PII[c])}', "
+            f"'[REDACTED_{c}]', 'g')"
+        )
+    return f"""
+        WITH win AS (
+          SELECT source, doc_id,
+                 {_ENRICH_SQL} AS txt
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY source ORDER BY doc_id DESC) rn
+                FROM documents)
+          WHERE rn = 1),
+        red AS (SELECT source, doc_id AS winner_doc_id,
+                       {red} AS content_redacted
+                FROM win)
+        SELECT source, winner_doc_id, content_redacted,
+               sha256(content_redacted) AS content_sha256
+        FROM red
+    """
+
+
+ORACLES["q_replay_anonymized"] = _replay_anonymized_oracle()
 
 # q_ivf_ann oracle: recompute the IVF search end-to-end in DuckDB —
 # centroids = 16 lowest-id vectors, cell = argmax of 6-dp-rounded

@@ -540,13 +540,24 @@ class ReplayRunner:
         changelog_dir: str,
         checkpoint_dir: str,
         max_files_per_trigger: int = 2,
-    ) -> None:
-        """Structured Streaming ingest, ``Trigger.AvailableNow``.
+        processing_time: str | None = None,
+    ):
+        """Structured Streaming ingest.
+
+        Default trigger is ``AvailableNow`` (drain what exists, then
+        stop — blocks until terminated, returns None).  Pass
+        ``processing_time`` (e.g. ``"1 second"``) for a CONTINUOUS
+        micro-batch stream that keeps polling the directory for new
+        files: the query handle is returned immediately and the caller
+        owns its lifecycle (``q.stop()``) — the long-running tailer
+        deployment shape (VERDICT r03 #6 soak path).
 
         Offset tracking lives in ``checkpoint_dir``; the sink's epoch
         fence de-duplicates batches redelivered after a crash between
         sink-commit and checkpoint-commit (the classic foreachBatch
-        exactly-once pattern).
+        exactly-once pattern), which also makes a checkpoint wipe a
+        safe full-redelivery: every already-committed epoch ordinal is
+        skipped at the manifest.
         """
         if self.control is not None:
             self.control.mark_interrupted_epochs()
@@ -566,10 +577,12 @@ class ReplayRunner:
             )
             self.apply_batch(df, epoch_id, started)
 
-        q = (
+        writer = (
             stream.writeStream.foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if processing_time is not None:
+            return writer.trigger(processingTime=processing_time).start()
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        return None
