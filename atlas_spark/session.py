@@ -26,6 +26,14 @@ _BASE_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     # Deterministic timestamps in tests.
     "spark.sql.session.timeZone": "UTC",
+    # Reading a bucketed table passes every live file as its own root
+    # path; above 32 paths Spark launches a DISTRIBUTED file-listing
+    # job (parallelPartitionDiscovery) — a whole scheduled job to
+    # stat() a few dozen local files, ~0.5-1 s of serialized driver
+    # time per epoch on the merge's existing-side read.  Local stat is
+    # cheap; keep listing on the driver far past any per-epoch file
+    # count (a real cluster against S3 may want this lower again).
+    "spark.sql.sources.parallelPartitionDiscovery.threshold": "8192",
     # CollectLimit defaults to scanning reduce partitions incrementally
     # (1, then ×4, …) — for the merge's bounded winner collect that is
     # up to 3 SEQUENTIAL reduce waves of driver-serialized scheduling

@@ -175,9 +175,16 @@ def prepare_batch_deferred(df: DataFrame, rules: SchemaRules,
     Catalyst cannot lift a projection above the fetch join on its own,
     so the plan must be built with the decode already downstream of
     the election.  The sink applies ``post`` to the winner relation
-    (decode 400 k rows, not 32 M)."""
+    (decode 400 k rows, not 32 M).
+
+    Returns ``(raw_batch, post, active)`` — ``active`` is the PROBED
+    rule set the projection will apply.  It is the projection's true
+    identity (the probe is data-dependent: the same input schema can
+    decode different columns depending on which payload keys this
+    batch actually carries), so it is what a schema-memo signature
+    must be built from."""
     active = _active_rules(df, rules, known_cols)
-    return df.drop("ts"), (lambda d: _apply_projection(d, active))
+    return df.drop("ts"), (lambda d: _apply_projection(d, active)), active
 
 
 @dataclass
@@ -276,14 +283,27 @@ class ReplayRunner:
             # composes after the decode — the final table state is
             # identical (losing rows never reach it) but the transform
             # runs on ~1–2% of the rows.
-            batch, post = prepare_batch_deferred(
+            batch, post, active = prepare_batch_deferred(
                 df, self.rules, known_cols=known
             )
             if self.transform is not None:
                 decode, xform = post, self.transform
                 post = lambda d: xform(decode(d))  # noqa: E731
             prep_ms = int((time.monotonic() - _t_prep) * 1000)
-            res = self.sink.merge(batch, epoch_id, post_project=post)
+            # the projection is a pure function of (PROBED active rule
+            # set, transform identity) — hand the sink that signature
+            # so it can memoize the per-epoch schema analysis; the
+            # probe result (not the static rules) is what varies when
+            # a payload column genuinely appears mid-stream
+            sig = (
+                "deferred_decode",
+                tuple(sorted(active.typed_columns.items())),
+                tuple(sorted(active.renames.items())),
+                id(self.transform) if self.transform is not None else None,
+            )
+            res = self.sink.merge(
+                batch, epoch_id, post_project=post, post_signature=sig
+            )
             if isinstance(res.get("phase_ms"), dict):
                 res["phase_ms"]["prepare"] = prep_ms
         else:
