@@ -100,7 +100,18 @@ def main() -> None:
         "broadcast into semi/anti joins splitting hit/miss; only "
         "≤2×|batch| rows (hits ∪ batch winners) enter the seq-guard "
         "window, which WindowGroupLimit trims map-side. At a 10^10-"
-        "event table the big side never crosses the network.",
+        "event table the big side never crosses the network. "
+        "Deliberate tradeoff visible below: the existing side appears "
+        "as TWO FileScans (anti branch for misses, semi branch for "
+        "hits) — 2× read amplification on the TOUCHED buckets only, "
+        "in exchange for shuffling nothing of the table. The "
+        "alternatives are strictly worse at scale: one scan + full "
+        "shuffle (the bulk fallback's shape) moves the whole touched "
+        "set across the network; a single-scan outer-join split needs "
+        "the batch side to know which keys the existing row beats — "
+        "itself another scan or a driver roundtrip. The second scan "
+        "reads the same bucket files the first just pulled through "
+        "the page/OS cache, so the real IO cost is far under 2×.",
         out1,
     ))
 
