@@ -181,3 +181,20 @@ def test_no_partial_manifest_visible(spark, tmp_path):
             with open(os.path.join(mdir, entry)) as f:
                 m = json.load(f)
             assert "files" in m and "version" in m
+
+
+def test_merge_schema_rebase_union():
+    """The rebase schema merge: base order preserved, type conflicts
+    promoted through the widening lattice, new columns appended."""
+    from atlas_spark.sinks.lakehouse import LakehouseSink
+
+    base = [["repo", "string"], ["lines", "int"], ["a", "string"]]
+    extra = [["lines", "bigint"], ["b", "double"], ["repo", "string"]]
+    merged = LakehouseSink._merge_schema(base, extra)
+    assert merged == [
+        ["repo", "string"], ["lines", "bigint"], ["a", "string"],
+        ["b", "double"],
+    ]
+    # commutes on the shared columns (order differs, content agrees)
+    m2 = LakehouseSink._merge_schema(extra, base)
+    assert dict(map(tuple, m2)) == dict(map(tuple, merged))
