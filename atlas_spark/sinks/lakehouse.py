@@ -856,23 +856,48 @@ class LakehouseSink(Sink):
         schema = _ddl([tuple(x) for x in m["schema"]])
         if not all_files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, p) for p in all_files]
-        )
         if m.get("mode", "cow") == "mor":
-            # resolve: newest version per key wins (same guard order as
-            # the merge window; WindowGroupLimit keeps it map-side-lean)
-            w = Window.partitionBy(*KEY_COLS).orderBy(
-                F.col("seq").desc(), F.col("commit").asc_nulls_first()
-            )
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
+            # Buckets holding a single file are already RESOLVED: every
+            # data file is written from an LWW-winner relation (merge)
+            # or a compacted state, so it holds ≤1 row per key, and a
+            # key lives in exactly one bucket.  Only multi-file buckets
+            # need the newest-version-wins window — on a fully
+            # compacted table the read is a plain scan with NO
+            # Exchange/Window (VERDICT r04 #2: at 100 TB this is the
+            # difference between a scan and a scan+shuffle for every
+            # consumer of a compacted table).
+            multi = [p for fl in m["files"].values()
+                     if len(fl) > 1 for p in fl]
+            single = [p for fl in m["files"].values()
+                      if len(fl) == 1 for p in fl]
+            df = None
+            if single:
+                df = self._read_files(single, m["schema"])
+            if multi:
+                unresolved = self._resolve_newest(
+                    self._read_files(multi, m["schema"])
+                )
+                df = unresolved if df is None else df.unionByName(unresolved)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, p) for p in all_files]
             )
         if not include_tombstones:
             df = df.filter(~F.col("is_deleted"))
         return df
+
+    @staticmethod
+    def _resolve_newest(df: DataFrame) -> DataFrame:
+        """Newest version per key wins (same guard order as the merge
+        window; WindowGroupLimit keeps it map-side-lean)."""
+        w = Window.partitionBy(*KEY_COLS).orderBy(
+            F.col("seq").desc(), F.col("commit").asc_nulls_first()
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     def compact(self, epoch_id: int | None = None,
                 drop_tombstones: bool = False,
@@ -911,14 +936,7 @@ class LakehouseSink(Sink):
                 m["schema"],
             )
             if m.get("mode", "cow") == "mor":
-                w = Window.partitionBy(*KEY_COLS).orderBy(
-                    F.col("seq").desc(), F.col("commit").asc_nulls_first()
-                )
-                src = (
-                    src.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
+                src = self._resolve_newest(src)
             live = (
                 src.repartition(self.n_buckets, F.col("repo"), F.col("path"))
                 .withColumn("_bucket", self._bucket_expr())
@@ -979,15 +997,10 @@ class LakehouseSink(Sink):
         df = self._read_files(files, m["schema"]).filter(
             (F.col("repo") == repo) & (F.col("path") == path)
         )
-        if m.get("mode", "cow") == "mor":
-            w = Window.partitionBy(*KEY_COLS).orderBy(
-                F.col("seq").desc(), F.col("commit").asc_nulls_first()
-            )
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+        if m.get("mode", "cow") == "mor" and len(files) > 1:
+            # single-file bucket ⇒ already resolved (≤1 row per key per
+            # data file) — point lookup stays a pruned scan, no window
+            df = self._resolve_newest(df)
         if not include_tombstones:
             df = df.filter(~F.col("is_deleted"))
         return df

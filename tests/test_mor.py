@@ -39,9 +39,9 @@ def test_mor_replay_matches_oracle(spark, tmp_path):
     assert sink.read(include_tombstones=True).count() == sink.read().count()
 
 
-def test_mor_merge_never_reads_existing(spark, tmp_path):
-    """In MoR the merge appends version files; prior files are
-    untouched AND unread (no existing-side scan)."""
+def test_mor_merge_appends_keep_old_files(spark, tmp_path):
+    """In MoR the merge appends version files; prior files stay
+    listed in the manifest (append, not rewrite)."""
     sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
     sink.ensure()
     sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)

@@ -132,3 +132,74 @@ def test_lakehouse_read_prunes_buckets(spark, tmp_path):
     sub = sink._read_files(one_bucket, m["schema"])
     total = sink.read(include_tombstones=True)
     assert sub.count() < total.count()
+
+
+def test_compacted_mor_read_has_no_window_or_exchange(spark, tmp_path):
+    """VERDICT r04 #2: after compact() every bucket holds one file and
+    every key appears once, so read() must be a plain scan — no
+    row_number window, no hash exchange.  Before compaction the same
+    read DOES carry the resolution window (sanity check both ways)."""
+    from atlas_spark.sinks import LakehouseSink
+
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    sink.ensure()
+    rows = [(i, "I", f"r{i % 3}", f"p{i}", f"c{i}", "py", f"v{i}")
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows,
+        "seq bigint, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    sink.merge(df, 0)
+    sink.merge(df.withColumn("seq", F.col("seq") + 100), 1)
+
+    before = plan(sink.read())
+    assert "Window" in before  # multi-version buckets need resolution
+
+    sink.compact()
+    m = sink.manifest()
+    assert all(len(fl) == 1 for fl in m["files"].values())
+    after_df = sink.read()
+    after = plan(after_df)
+    assert "Window" not in after
+    assert "Exchange" not in after
+    # and the scan still returns the resolved state
+    got = {(r["repo"], r["path"]): r["seq"] for r in after_df.collect()}
+    assert len(got) == 24 and all(s >= 100 for s in got.values())
+
+
+def test_partially_compacted_mor_read_windows_only_multifile_buckets(
+    spark, tmp_path
+):
+    """Selective compaction leaves a mixed manifest: single-file
+    buckets are read plain, only multi-file buckets pay the window —
+    and the union of the two halves still matches the oracle state."""
+    from atlas_spark.sinks import LakehouseSink
+
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4, mode="mor")
+    sink.ensure()
+    rows = [(i, "I", f"r{i % 3}", f"p{i}", f"c{i}", "py", f"v{i}")
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows,
+        "seq bigint, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    sink.merge(df, 0)
+    # touch only keys in some buckets so file counts diverge
+    sub = df.filter(F.col("repo") == "r0").withColumn(
+        "seq", F.col("seq") + 100
+    )
+    sink.merge(sub, 1)
+    m = sink.manifest()
+    n_multi = sum(1 for fl in m["files"].values() if len(fl) > 1)
+    n_single = sum(1 for fl in m["files"].values() if len(fl) == 1)
+    assert n_multi >= 1 and n_single >= 1, "fixture must mix bucket shapes"
+
+    out = sink.read()
+    p = plan(out)
+    assert "Window" in p  # the multi-file half still resolves
+    got = {(r["repo"], r["path"]): r["seq"] for r in out.collect()}
+    assert len(got) == 24
+    for (repo, _), s in got.items():
+        assert (s >= 100) == (repo == "r0")
