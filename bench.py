@@ -201,6 +201,53 @@ def run_replay(spark, log_dir: str, n_buckets: int = 64,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _burn(_):
+    x = 0
+    for i in range(20_000_000):
+        x += i * i
+    return x
+
+
+def _scan_one(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)  # full decompress + Arrow materialization
+    return t.num_rows
+
+
+def machine_controls(cpus: int, sf_dir: str) -> dict:
+    """Same-window machine ceilings (the ladder's controls, VERDICT r04
+    task #2): a pure-multiprocessing CPU burn and a pure-pyarrow scan of
+    the sf tables.  Recorded beside every driver bench so a cross-round
+    total drift can be attributed to the VM window (controls drifted
+    too) vs the engine (controls steady) without re-adjudicating noise.
+    Best-of-3 each — a control measures the ceiling, not one window."""
+    import glob
+    import multiprocessing as mp
+
+    files = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    # repeat the file list so every pool slot has work at wide cpus
+    reps = max(1, (cpus * 2) // max(1, len(files)))
+    files = files * reps
+    cpu_best = scan_best = 0.0
+    for _ in range(3):
+        t0 = time.monotonic()
+        with mp.Pool(cpus) as p:
+            p.map(_burn, range(cpus * 2))
+        cpu_best = max(cpu_best, (cpus * 2) / (time.monotonic() - t0))
+    with mp.Pool(cpus) as p:
+        p.map(_scan_one, files)  # warm page cache, untimed
+    for _ in range(3):
+        t0 = time.monotonic()
+        with mp.Pool(cpus) as p:
+            p.map(_scan_one, files)
+        scan_best = max(scan_best, len(files) / (time.monotonic() - t0))
+    return {
+        "cpu_tasks_per_sec": round(cpu_best, 2),
+        "scan_files_per_sec": round(scan_best, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay-only", action="store_true")
@@ -252,13 +299,28 @@ def main() -> None:
 
     from atlas_spark.operators import QUERIES
 
+    # Per-query: one untimed warmup (JIT + page cache + Arrow init for
+    # that query's plan shape) then BEST of 3 timed runs.  BENCH_r04 vs
+    # r03 read as a 24% "regression" that was a ±30% VM window landing
+    # on single-shot timings (VERDICT r04 "what's wrong" #3) — best-of-3
+    # with raw runs reported makes the driver JSON window-resistant.
     queries: dict[str, float] = {"cdc_replay": replay["replay_sec"]}
+    query_runs: dict[str, list[float]] = {
+        "cdc_replay": replay["replay_sec_runs"]
+    }
     for name in QUERY_NAMES:
-        t0 = time.monotonic()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+        QUERIES[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()  # warmup, untimed
+        raw = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            raw.append(round(time.monotonic() - t0, 3))
+        queries[name] = min(raw)
+        query_runs[name] = raw
 
+    controls = machine_controls(cpus, sf_dir)
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -267,6 +329,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
+                "query_runs": query_runs,
+                "controls": controls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "replay_events": replay["events"],
                 "replay_events_per_sec": replay["events_per_sec"],
