@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .base import Sink
+from .commit_store import CommitStore, LocalFSCommitStore
 
 KEY_COLS = ["repo", "path"]
 
@@ -116,6 +117,7 @@ class LakehouseSink(Sink):
         broadcast_key_limit: int | None = None,
         mode: str = "cow",
         exact_duplicate_metrics: bool = False,
+        commit_store: "CommitStore | None" = None,
     ):
         """``mode``:
 
@@ -171,7 +173,13 @@ class LakehouseSink(Sink):
         self.broadcast_key_limit = broadcast_key_limit
         self.mode = mode
         self._manifest_dir = os.path.join(root, "_manifests")
-        self._current = os.path.join(self._manifest_dir, "CURRENT")
+        # the OCC commit primitive is pluggable (commit_store.py): the
+        # default local-FS store is correct in this sandbox; a cluster
+        # port passes an object-store implementation instead of
+        # editing the sink
+        self.commit_store = commit_store or LocalFSCommitStore(
+            self._manifest_dir
+        )
         # plan-audit hook: set to a dict and merge() records the
         # explain strings of its two jobs (election, fetch+write) so
         # tests/tools can pin the physical shape without re-deriving
@@ -190,9 +198,9 @@ class LakehouseSink(Sink):
         rules are known shouldn't pay it even once).  Undeclared
         columns still evolve dynamically when they appear.
         """
-        os.makedirs(self._manifest_dir, exist_ok=True)
+        self.commit_store.ensure()
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
-        if not os.path.exists(self._current):
+        if self.commit_store.read_pointer() is None:
             base_names = {n for n, _ in BASE_FIELDS}
             extra = [
                 [n, t] for n, t in (declared_columns or [])
@@ -211,8 +219,9 @@ class LakehouseSink(Sink):
             }
             self._write_manifest(m)
 
-    def _manifest_path(self, version: int) -> str:
-        return os.path.join(self._manifest_dir, f"manifest.{version:08d}.json")
+    @staticmethod
+    def _manifest_name(version: int) -> str:
+        return f"manifest.{version:08d}.json"
 
     def manifest(self, version: int | None = None) -> dict:
         """Current manifest, or a historical one (time travel: every
@@ -226,12 +235,14 @@ class LakehouseSink(Sink):
         pointer is a cache (Delta paper §3.2: _last_checkpoint is the
         same kind of hint)."""
         if version is None:
-            with open(self._current) as f:
-                version = int(f.read().strip())
-            while os.path.exists(self._manifest_path(version + 1)):
+            version = self.commit_store.read_pointer()
+            if version is None:
+                raise FileNotFoundError(
+                    f"no committed table at {self.root} (run ensure())"
+                )
+            while self.commit_store.exists(self._manifest_name(version + 1)):
                 version += 1
-        with open(self._manifest_path(version)) as f:
-            m = json.load(f)
+        m = json.loads(self.commit_store.read(self._manifest_name(version)))
         # bucket count and merge mode are storage properties: a sink
         # object constructed differently must follow the manifest, or
         # bucket mapping / version resolution breaks
@@ -250,43 +261,21 @@ class LakehouseSink(Sink):
         never observe a partial manifest and a version can never be
         silently clobbered.  Returns False on losing the race.
 
-        The reference gets this from its DB (``ON CONFLICT``,
-        postgresql/adapter.rs:133-144); on S3 the same slot is a
-        put-if-absent conditional PUT or a DynamoDB lock table."""
-        path = self._manifest_path(m["version"])
-        tmp = os.path.join(
-            self._manifest_dir, f".tmp.{uuid.uuid4().hex}.json"
-        )
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)
-        except FileExistsError:
+        The atomic primitive itself lives behind the CommitStore seam
+        (``commit_store.py``): local FS = ``os.link`` EEXIST; S3 =
+        conditional PUT / DynamoDB lock table (the reference gets the
+        same slot from its DB ``ON CONFLICT``,
+        postgresql/adapter.rs:133-144)."""
+        data = json.dumps(m).encode()
+        if not self.commit_store.put_if_absent(
+            self._manifest_name(m["version"]), data
+        ):
             return False
-        finally:
-            os.unlink(tmp)
-        self._advance_current(m["version"])
+        # advance-only pointer hint; a laggard writer finishing v after
+        # another committed v+1 must not regress it — readers probe
+        # forward past a stale pointer anyway
+        self.commit_store.advance_pointer(m["version"])
         return True
-
-    def _advance_current(self, version: int) -> None:
-        """Advance the CURRENT hint, never regress it: a laggard writer
-        finishing version v after another committed v+1 must not point
-        CURRENT backwards.  The remaining read-check-replace window is
-        benign — manifest() probes forward past a stale pointer."""
-        try:
-            with open(self._current) as f:
-                if int(f.read().strip()) >= version:
-                    return
-        except (FileNotFoundError, ValueError):
-            pass
-        ptr_tmp = self._current + f".tmp.{uuid.uuid4().hex}"
-        with open(ptr_tmp, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptr_tmp, self._current)
 
     def _write_manifest(self, m: dict) -> None:
         """Single-writer publish for paths with no rebase semantics

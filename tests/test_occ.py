@@ -51,7 +51,7 @@ def test_current_pointer_never_regresses(spark, tmp_path):
     sink = _mk(spark, tmp_path)
     sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
     v = sink.manifest()["version"]
-    sink._advance_current(v - 1)  # a laggard writer finishing late
+    sink.commit_store.advance_pointer(v - 1)  # laggard finishing late
     assert sink.manifest()["version"] == v
 
 
@@ -63,12 +63,11 @@ def test_reader_probes_past_stale_pointer(spark, tmp_path):
     sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
     m = sink.manifest()
     m2 = dict(m, version=m["version"] + 1, stats={"rows": 41})
-    path = sink._manifest_path(m2["version"])
-    with open(path, "w") as f:
-        json.dump(m2, f)
+    assert sink.commit_store.put_if_absent(
+        sink._manifest_name(m2["version"]), json.dumps(m2).encode()
+    )
     # pointer still names the old version on disk
-    with open(sink._current) as f:
-        assert int(f.read().strip()) == m["version"]
+    assert sink.commit_store.read_pointer() == m["version"]
     assert sink.manifest()["version"] == m2["version"]
 
 
