@@ -245,6 +245,28 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_vacuum(args) -> int:
+    retain = getattr(args, "retain_versions", None)
+    if retain is not None and not getattr(args, "yes", False):
+        # pruning manifests permanently gives up time travel / diff()
+        # to the pruned versions — demand an explicit --yes
+        print(
+            "refusing: --retain-versions permanently removes older "
+            "snapshots (time travel and diff to them stop working). "
+            "Re-run with --yes to confirm.",
+        )
+        return 2
+    cfg = load_config(args.config)
+    spark, sink, _, _ = _build(cfg)
+    res = sink.vacuum(
+        retain_versions=retain,
+        min_age_seconds=args.min_age_seconds,
+    )
+    print(f"vacuumed: {res}")
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="atlas_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -253,6 +275,7 @@ def main(argv=None) -> int:
         ("status", cmd_status),
         ("validate-config", cmd_validate),
         ("compact", cmd_compact),
+        ("vacuum", cmd_vacuum),
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-c", "--config", required=(name != "init"))
@@ -269,6 +292,15 @@ def main(argv=None) -> int:
             sp.add_argument("--max-file-versions", type=int, default=None,
                             help="selective: fold only buckets holding "
                                  "more than this many files")
+        if name == "vacuum":
+            sp.add_argument("--retain-versions", type=int, default=None,
+                            help="prune manifests older than the newest "
+                                 "N versions (requires --yes)")
+            sp.add_argument("--min-age-seconds", type=float, default=3600.0,
+                            help="never delete files younger than this "
+                                 "(in-flight commit guard)")
+            sp.add_argument("--yes", action="store_true",
+                            help="confirm giving up pruned snapshots")
         sp.set_defaults(fn=fn)
     sp = sub.add_parser("init")
     sp.add_argument("-o", "--output", default="atlas_spark.toml")

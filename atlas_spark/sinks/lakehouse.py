@@ -1044,3 +1044,109 @@ class LakehouseSink(Sink):
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.manifest()["watermarks"])
+
+    # ------------------------------------------------------------ vacuum
+    def vacuum(self, retain_versions: int | None = None,
+               min_age_seconds: float = 3600.0) -> dict:
+        """Garbage-collect files no retained manifest references
+        (Delta VACUUM analog; ADVICE r04: OCC losers — a merge
+        fence-skipped after a lost race, compact's conflict-dropped
+        buckets, the installed==0 early return — leave permanently
+        unreferenced parquet, and manifests otherwise accrue forever).
+
+        * ``retain_versions``: keep only the newest N manifest
+          versions (time travel + ``diff()`` to pruned versions is
+          given up); None keeps every version and removes only data
+          files referenced by NO version at all (pure orphans).
+        * ``min_age_seconds``: never delete a file younger than this.
+          This is the concurrency guard (same as Delta's retention
+          check): a concurrent committer writes data files BEFORE its
+          manifest exists, so an unreferenced-right-now file may be an
+          in-flight commit — age gates it.  New commits can only
+          reference files their own writer just wrote (young) or files
+          carried over from a current manifest (referenced), so an old
+          unreferenced file can never become referenced again and is
+          safe to delete.
+
+        Scale note: enumeration is a driver-side walk here (one box,
+        one FS); at object-store scale the listing under ``data/``
+        would be distributed (``spark.read.format("binaryFile")`` or a
+        parallel LIST) with the same referenced-set semantics — the
+        referenced set itself is manifest-sized, not data-sized.
+        """
+        store = self.commit_store
+        versions = sorted(
+            int(n.split(".")[1]) for n in store.list_names()
+            if n.startswith("manifest.")
+        )
+        if retain_versions is not None:
+            assert retain_versions >= 1
+            cutoff = versions[-1] - retain_versions + 1
+            pruned = [v for v in versions if v < cutoff]
+            retained = [v for v in versions if v >= cutoff]
+        else:
+            pruned, retained = [], versions
+        referenced: set[str] = set()
+        for v in retained:
+            mv = json.loads(store.read(self._manifest_name(v)))
+            for fl in mv["files"].values():
+                referenced.update(fl)
+        now = time.time()
+
+        def _old_enough(ap: str) -> bool:
+            return now - os.path.getmtime(ap) >= min_age_seconds
+
+        data_root = os.path.join(self.root, "data")
+        removed = kept_young = 0
+        for dirpath, _dirnames, filenames in os.walk(
+            data_root, topdown=False
+        ):
+            for fn in filenames:
+                # `_`/`.`-prefixed files are commit-protocol sidecars
+                # (_SUCCESS, .crc), not data — Delta VACUUM's hidden-
+                # file convention; swept below with their directory
+                if fn.startswith(("_", ".")):
+                    continue
+                ap = os.path.join(dirpath, fn)
+                if os.path.relpath(ap, self.root) in referenced:
+                    continue
+                try:
+                    if not _old_enough(ap):
+                        kept_young += 1
+                        continue
+                    os.unlink(ap)
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+            if dirpath == data_root:
+                continue
+            # a directory whose data files are all gone: sweep the
+            # hidden sidecars (age-gated like data — a mid-commit dir
+            # can briefly hold only sidecars) and remove it
+            try:
+                entries = os.listdir(dirpath)
+            except FileNotFoundError:
+                continue
+            if all(
+                e.startswith(("_", "."))
+                and os.path.isfile(os.path.join(dirpath, e))
+                and _old_enough(os.path.join(dirpath, e))
+                for e in entries
+            ):
+                for e in entries:
+                    try:
+                        os.unlink(os.path.join(dirpath, e))
+                    except FileNotFoundError:
+                        pass
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        for v in pruned:
+            store.delete(self._manifest_name(v))
+        return {
+            "data_files_removed": removed,
+            "data_files_kept_young": kept_young,
+            "manifests_pruned": len(pruned),
+            "versions_retained": len(retained),
+        }

@@ -1,0 +1,112 @@
+"""vacuum(): orphan data-file GC + manifest retention (ADVICE r04 —
+OCC losers and long streams otherwise accrue unbounded unreferenced
+parquet and manifests forever)."""
+
+import json
+import os
+
+from atlas_spark.sinks import LakehouseSink
+
+from tests.test_occ import _interleave
+from tests.test_sink_unit import _df, _mk
+
+
+def _data_files(root):
+    out = []
+    for dirpath, _d, files in os.walk(os.path.join(root, "t", "data")):
+        out += [
+            os.path.join(dirpath, f) for f in files
+            if not f.startswith(("_", "."))  # sidecars aren't data
+        ]
+    return sorted(out)
+
+
+def _state(sink):
+    return sorted(
+        (r["repo"], r["path"], r["seq"], r["commit"])
+        for r in sink.read(include_tombstones=True).collect()
+    )
+
+
+def test_vacuum_removes_occ_loser_orphans(spark, tmp_path):
+    """A merge that loses the version race to a same-epoch commit is
+    fence-skipped AFTER writing its data files — vacuum reclaims them
+    and the table state is untouched."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+
+    rival = LakehouseSink(spark, sink.root, n_buckets=sink.n_buckets)
+
+    def competing():
+        rival.merge(_df(spark, [[2, "U", "r", "a", "c2", "py", "v2"]]), 1)
+
+    _interleave(sink, competing)
+    res = sink.merge(_df(spark, [[2, "U", "r", "a", "cX", "py", "vX"]]), 1)
+    assert res["skipped"] is True  # lost the race, fence-skipped
+
+    before = _state(sink)
+    n_before = len(_data_files(tmp_path))
+    out = sink.vacuum(min_age_seconds=0)
+    assert out["data_files_removed"] >= 1  # the loser's orphan(s)
+    assert out["manifests_pruned"] == 0
+    assert len(_data_files(tmp_path)) == n_before - out["data_files_removed"]
+    assert _state(sink) == before
+    # every retained version still readable (no referenced file removed)
+    for v in range(sink.manifest()["version"] + 1):
+        sink.read(include_tombstones=True, version=v).count()
+
+
+def test_vacuum_min_age_protects_inflight_files(spark, tmp_path):
+    """An unreferenced-right-now file younger than the horizon may be
+    an in-flight commit's data — it must survive."""
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    # simulate a concurrent writer mid-commit: data written, manifest not
+    stray = os.path.join(sink.root, "data", "e999999-deadbeef")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "part-0.parquet"), "wb") as f:
+        f.write(b"not yet committed")
+    out = sink.vacuum()  # default 1 h horizon
+    assert out["data_files_removed"] == 0
+    assert out["data_files_kept_young"] >= 1
+    assert os.path.exists(os.path.join(stray, "part-0.parquet"))
+    out2 = sink.vacuum(min_age_seconds=0)
+    assert out2["data_files_removed"] >= 1
+    assert not os.path.exists(stray)  # emptied dir pruned too
+
+
+def test_vacuum_retention_prunes_manifests_and_their_files(spark, tmp_path):
+    """retain_versions=N keeps the newest N manifests; files referenced
+    ONLY by pruned versions are reclaimed, current state + retained
+    time travel keep working, pruned versions are gone."""
+    sink = _mk(spark, tmp_path)  # cow: each merge rewrites the bucket
+    for e in range(4):
+        sink.merge(
+            _df(spark, [[e + 1, "U", "r", "a", f"c{e}", "py", f"v{e}"]]), e
+        )
+    m = sink.manifest()
+    assert m["version"] == 4
+    before = _state(sink)
+    out = sink.vacuum(retain_versions=2, min_age_seconds=0)
+    assert out["manifests_pruned"] == 3  # versions 0,1,2
+    assert out["versions_retained"] == 2
+    assert out["data_files_removed"] >= 2  # v0/v1's superseded rewrites
+    assert _state(sink) == before
+    sink.read(version=3).count()  # retained time travel OK
+    try:
+        sink.manifest(version=1)
+        raise AssertionError("pruned version still readable")
+    except FileNotFoundError:
+        pass
+
+
+def test_vacuum_noop_on_clean_table(spark, tmp_path):
+    sink = _mk(spark, tmp_path)
+    sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+    out = sink.vacuum(min_age_seconds=0)
+    assert out == {
+        "data_files_removed": 0,
+        "data_files_kept_young": 0,
+        "manifests_pruned": 0,
+        "versions_retained": 2,  # ensure()'s v0 + the merge's v1
+    }
