@@ -86,17 +86,23 @@ def _ddl(fields: list[tuple[str, str]]) -> T.StructType:
 
 def _parse_mem_bytes(mem: str) -> float | None:
     """Parse a Spark memory string into bytes.  Spark accepts '2g',
-    '2gb', '512mb', '1.5g', bare bytes … (JavaUtils.byteStringAs) —
-    keep the fractional part and return None on anything that doesn't
-    parse, so callers can fall back instead of raising."""
+    '2gb', '512mb', '1.5g', … (JavaUtils.byteStringAs) — keep the
+    fractional part and return None on anything that doesn't parse, so
+    callers can fall back instead of raising.  A BARE number follows
+    Spark's own reading of a unitless ``spark.driver.memory``
+    (getSizeAsMb): it means MiB, not bytes — ADVICE r04: treating
+    '4096' as 4 KB silently floored the broadcast limit.  An explicit
+    ``b`` suffix ('4096b') still means bytes."""
     import re
 
     units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     m = re.fullmatch(
-        r"([0-9]*\.?[0-9]+)\s*([kmgt]?)b?", mem.lower().strip()
+        r"([0-9]*\.?[0-9]+)\s*([kmgt]?)(b?)", mem.lower().strip()
     )
     if m is None:
         return None
+    if not m.group(2) and not m.group(3):
+        return float(m.group(1)) * (1 << 20)  # unitless = MiB
     return float(m.group(1)) * units.get(m.group(2), 1)
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -239,6 +240,14 @@ class ReplayRunner:
         # merge — the anonymize step plugs in here (atlas engine.rs
         # transform_and_anonymize analog, batch.rs:191-271)
         self.transform = transform
+        # stable memo token for the sink's schema-analysis cache
+        # (ADVICE r04): id(transform) is recycled by CPython after GC,
+        # so a new runner's DIFFERENT transform could collide with a
+        # dead one's and reuse a stale unified schema — a per-runner
+        # uuid can never collide across runner lifetimes
+        self._transform_token = (
+            None if transform is None else uuid.uuid4().hex
+        )
         # set by the CLI after the operator confirms a fingerprint
         # mismatch (--yes / interactive): run() re-records the stream
         # identity only once the epoch-plan guard has passed, so an
@@ -299,7 +308,7 @@ class ReplayRunner:
                 "deferred_decode",
                 tuple(sorted(active.typed_columns.items())),
                 tuple(sorted(active.renames.items())),
-                id(self.transform) if self.transform is not None else None,
+                self._transform_token,
             )
             res = self.sink.merge(
                 batch, epoch_id, post_project=post, post_signature=sig

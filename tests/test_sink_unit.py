@@ -345,6 +345,10 @@ def test_parse_mem_bytes_spark_formats():
     assert _parse_mem_bytes("1024kb") == 1024 << 10
     assert _parse_mem_bytes("1.5g") == 1.5 * g
     assert _parse_mem_bytes(" 4G ") == 4 * g
-    assert _parse_mem_bytes("3000") == 3000.0
+    # unitless = MiB, matching Spark's getSizeAsMb reading of a bare
+    # spark.driver.memory (ADVICE r04: bytes-reading floored the
+    # broadcast limit for '4096'); explicit 'b' suffix = bytes
+    assert _parse_mem_bytes("3000") == 3000 << 20
+    assert _parse_mem_bytes("4096b") == 4096.0
     assert _parse_mem_bytes("notamem") is None
     assert _parse_mem_bytes("") is None
