@@ -46,6 +46,33 @@ class SchemaRules:
     renames: dict[str, str] = field(default_factory=dict)
     typed_columns: dict[str, str] = field(default_factory=dict)
 
+    def __post_init__(self):
+        # Canonicalize rename CHAINS (VERDICT r04 #7): a stream that
+        # renamed lang→language in one epoch and language→tongue in a
+        # later one declares {"lang": "language", "language": "tongue"};
+        # the single-pass CASE remap would strand old rows under the
+        # intermediate name.  Resolve every old key to its TERMINAL
+        # name up front ({"lang": "tongue", "language": "tongue"}) so
+        # one remap pass is still sufficient; reject cycles loudly
+        # (a↔b swap semantics are ambiguous on a keyed map).
+        resolved = {}
+        for old in self.renames:
+            if self.renames[old] == old:
+                continue  # no-op self-rename
+            seen = {old}
+            cur = self.renames[old]
+            while cur in self.renames:
+                if cur in seen:
+                    raise ValueError(
+                        f"rename cycle involving {sorted(seen)!r}: "
+                        "renames must converge to a terminal name"
+                    )
+                seen.add(cur)
+                cur = self.renames[cur]
+            if cur != old:  # drop no-op self-renames
+                resolved[old] = cur
+        self.renames = resolved
+
     def project(self, df: DataFrame, map_col: str = "_payload_map") -> DataFrame:
         """Apply renames on the map, then surface typed columns."""
         if self.renames:

@@ -89,3 +89,94 @@ def test_column_appears_only_when_data_has_it(spark, tmp_path):
     names = [n for n, _ in (tuple(x) for x in sink.manifest()["schema"])]
     assert "lines" in names
     check_against_oracle(spark, sink, changelog)
+
+
+def test_rename_chain_resolves_to_terminal_name(spark):
+    """VERDICT r04 #7: lang→language in one epoch, language→tongue in a
+    later one.  Rows from EVERY era of the chain must surface under the
+    terminal column; the intermediate name never appears."""
+    from pyspark.sql import functions as F
+
+    from atlas_spark.plans.schema_evolution import SchemaRules
+
+    rules = SchemaRules(
+        renames={"lang": "language", "language": "tongue"},
+        typed_columns={"tongue": "string"},
+    )
+    # construction canonicalizes: one remap pass reaches the terminal
+    assert rules.renames == {"lang": "tongue", "language": "tongue"}
+
+    df = spark.createDataFrame(
+        [("era0", {"lang": "py"}),
+         ("era1", {"language": "rs"}),
+         ("era2", {"tongue": "go"})],
+        "era string, _payload_map map<string,string>",
+    )
+    out = rules.project(df)
+    got = {r["era"]: r["tongue"] for r in out.collect()}
+    assert got == {"era0": "py", "era1": "rs", "era2": "go"}
+    keys = {
+        k for r in out.select(
+            F.explode(F.map_keys("_payload_map")).alias("k")
+        ).collect() for k in [r["k"]]
+    }
+    assert keys == {"tongue"}
+
+
+def test_rename_cycle_rejected_self_rename_dropped():
+    import pytest
+
+    from atlas_spark.plans.schema_evolution import SchemaRules
+
+    with pytest.raises(ValueError, match="cycle"):
+        SchemaRules(renames={"a": "b", "b": "a"})
+    with pytest.raises(ValueError, match="cycle"):
+        SchemaRules(renames={"a": "b", "b": "c", "c": "a"})
+    assert SchemaRules(renames={"a": "a"}).renames == {}
+
+
+def test_rename_chain_property_matches_iterated_application():
+    """Property (hypothesis): for any acyclic rename mapping, the
+    canonicalized single-pass map equals iterating the raw map to its
+    fixpoint for every key."""
+    from hypothesis import given, strategies as st
+
+    from atlas_spark.plans.schema_evolution import SchemaRules
+
+    names = st.sampled_from(list("abcdefgh"))
+
+    @given(st.dictionaries(names, names, max_size=8))
+    def check(raw):
+        try:
+            rules = SchemaRules(renames=dict(raw))
+        except ValueError:
+            # must be a genuine cycle: some key returns to itself
+            def cycles(m):
+                for k in m:
+                    seen, cur = {k}, m[k]
+                    while cur in m and cur != k:
+                        if cur in seen:
+                            return True  # cycle not through k — still a cycle
+                        seen.add(cur)
+                        cur = m[cur]
+                    if cur == k and m[k] != k:
+                        return True
+                return False
+
+            assert cycles(raw)
+            return
+        for k, v in raw.items():
+            seen, cur = {k}, v
+            while cur in raw and cur not in seen:
+                seen.add(cur)
+                cur = raw[cur]
+            expected = cur
+            if expected == k:
+                assert k not in rules.renames
+            else:
+                assert rules.renames[k] == expected
+        # terminal names are never themselves renamed
+        for v in rules.renames.values():
+            assert v not in rules.renames
+
+    check()
