@@ -157,10 +157,30 @@ def cmd_status(args) -> int:
         f"buckets={m.get('n_buckets')} "
         f"schema={[n for n, _ in (tuple(x) for x in m.get('schema', []))]}"
     )
+    # status glyph column + filters (reference `status` parity,
+    # src/cli/commands/status.rs:93-127: per-watermark glyphs and
+    # --template-id/--ehr-id filters).  Watermarks here are keyed by
+    # (epoch, bucket) — bucketing is on hash(repo, path), so the
+    # filter analogs are --epoch / --bucket, not a repo name.
+    from pyspark.sql import functions as F
+
+    glyph = (
+        F.when(F.col("status") == "completed", F.lit("✅ completed"))
+        .when(F.col("status") == "started", F.lit("🔄 in progress"))
+        .when(F.col("status") == "interrupted", F.lit("❌ interrupted"))
+        .otherwise(F.concat(F.lit("⏸️  "), F.col("status")))
+    )
     try:
-        wm = control.watermarks_df(spark)
+        wm = control.watermarks_df(spark).withColumn("status", glyph)
+        if getattr(args, "epoch", None) is not None:
+            wm = wm.filter(F.col("epoch_id") == args.epoch)
+        if getattr(args, "bucket", None) is not None:
+            wm = wm.filter(F.col("partition_id") == args.bucket)
         wm.orderBy("epoch_id", "partition_id").show(50, truncate=False)
-        control.metrics_df(spark).orderBy("epoch_id").show(50, truncate=False)
+        mdf = control.metrics_df(spark).withColumn("status", glyph)
+        if getattr(args, "epoch", None) is not None:
+            mdf = mdf.filter(F.col("epoch_id") == args.epoch)
+        mdf.orderBy("epoch_id").show(50, truncate=False)
     except Exception:  # noqa: BLE001 — empty control tables
         print("no control tables yet")
     spark.stop()
@@ -292,6 +312,11 @@ def main(argv=None) -> int:
             sp.add_argument("--max-file-versions", type=int, default=None,
                             help="selective: fold only buckets holding "
                                  "more than this many files")
+        if name == "status":
+            sp.add_argument("--epoch", type=int, default=None,
+                            help="show only this epoch's watermarks/metrics")
+            sp.add_argument("--bucket", type=int, default=None,
+                            help="show only this bucket's watermarks")
         if name == "vacuum":
             sp.add_argument("--retain-versions", type=int, default=None,
                             help="prune manifests older than the newest "

@@ -49,6 +49,13 @@ def test_cli_lifecycle(tmp_path):
     r2 = _cli("status", "-c", str(cfg))
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "last_epoch=1" in r2.stdout
+    assert "✅ completed" in r2.stdout  # glyph column (status.rs parity)
+
+    # --epoch/--bucket filters narrow the tables (status.rs:46-66 analog)
+    r2f = _cli("status", "-c", str(cfg), "--epoch", "0", "--bucket", "0")
+    assert r2f.returncode == 0, r2f.stderr[-2000:]
+    wm_lines = [l for l in r2f.stdout.splitlines() if "✅" in l]
+    assert wm_lines and all("|1  " not in l for l in wm_lines)
 
     # second replay: everything fenced
     r3 = _cli("replay", "-c", str(cfg))
