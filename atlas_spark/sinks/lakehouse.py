@@ -301,12 +301,15 @@ class LakehouseSink(Sink):
         return F.pmod(F.hash(F.col("repo"), F.col("path")),
                       F.lit(self.n_buckets)).cast("int")
 
-    def _read_files(self, files: list[str], schema_fields: list) -> DataFrame:
+    def _read_files(self, files: list[str], schema_fields: list,
+                    spark: SparkSession | None = None) -> DataFrame:
         schema = _ddl([tuple(x) for x in schema_fields])
         paths = [os.path.join(self.root, p) for p in files]
         # explicit unified schema: files from before a column existed
         # surface it as null — the storage half of schema evolution.
-        return self.spark.read.schema(schema).parquet(*paths)
+        # ``spark`` overrides the session (merge passes the micro-batch
+        # clone so the fused SQL resolves in one catalog).
+        return (spark or self.spark).read.schema(schema).parquet(*paths)
 
     def _align(self, df: DataFrame, fields: list[tuple[str, str]]) -> DataFrame:
         cols = []
@@ -368,6 +371,15 @@ class LakehouseSink(Sink):
         epoch must not reuse another projection's schema).
         """
         t0 = time.monotonic()
+        # Inside Structured Streaming's foreachBatch the batch
+        # DataFrame belongs to a CLONED micro-batch session whose
+        # temp-view catalog is disjoint from ``self.spark``'s, and the
+        # fused merge SQL binds its relations through that catalog
+        # (DataFrame parameters register hidden ``_pyspark_*`` views in
+        # their OWN session) — so every plan the merge builds must come
+        # from the batch's session, or the final statement can't see
+        # them.  In batch mode this IS ``self.spark``.
+        sess = batch_df.sparkSession
         m = self.manifest()
         if epoch_id <= m["committed_epoch_max"]:
             return {"epoch_id": epoch_id, "skipped": True}
@@ -551,9 +563,17 @@ class LakehouseSink(Sink):
             # Trimming the broadcast build side 7→4 columns shrinks
             # the per-epoch driver→JVM serialization and the
             # broadcast-build (both serialized costs, VERDICT r03 #1).
+            # `_w`-prefixed key names let the fetch join reference both
+            # sides WITHOUT SubqueryAlias wrappers — two fewer eagerly
+            # analyzed Datasets per epoch (each alias() is a full
+            # analyzer pass over the batch subtree; plan_write phase,
+            # VERDICT r04 #5)
             win_local = (
-                self.spark.createDataFrame(
+                sess.createDataFrame(
                     win_tbl.select([*KEY_COLS, "_wseq", "_wp"])
+                    .rename_columns(
+                        [f"_w{k}" for k in KEY_COLS] + ["_wseq", "_wp"]
+                    )
                 )
                 if n_keys
                 else None
@@ -577,17 +597,20 @@ class LakehouseSink(Sink):
             win_local = None
         phase_ms["stats_driver"] = int((time.monotonic() - _t_phase) * 1000)
         _t_plan = time.monotonic()
+        _t_sub = time.monotonic()
 
         if small and win_local is not None:
-            b = batch_df.withColumn("_p", op_pref).alias("b")
-            wv = win_local.alias("w")
+            b = batch_df.withColumn("_p", op_pref)
             cond = (
-                (F.col("b.seq") == F.col("w._wseq"))
-                & (F.col("b._p") == F.col("w._wp"))
+                (F.col("seq") == F.col("_wseq"))
+                & (F.col("_p") == F.col("_wp"))
             )
             for k in KEY_COLS:
-                cond &= F.col(f"b.{k}") == F.col(f"w.{k}")
-            fetched = b.join(F.broadcast(wv), cond).select("b.*").drop("_p")
+                cond &= F.col(k) == F.col(f"_w{k}")
+            # one select drops _p and the _w* probe columns together
+            fetched = b.join(F.broadcast(win_local), cond).select(
+                *batch_df.columns
+            )
             # Collapse duplicate deliveries of the winning event.  Rows
             # tied on (key, seq, op) are normally byte-identical, but a
             # malformed producer CAN emit differing payloads at the same
@@ -628,9 +651,11 @@ class LakehouseSink(Sink):
                 ).alias("_w"))
                 .select(*KEY_COLS, "_w.*")
             )
+        phase_ms["_sub_fetch"] = int((time.monotonic() - _t_sub) * 1000); _t_sub = time.monotonic()
         if post_project is not None:
             # decode/evolve/transform the winners only (~|keys| rows)
             aggd = post_project(aggd)
+        phase_ms["_sub_post"] = int((time.monotonic() - _t_sub) * 1000); _t_sub = time.monotonic()
         # ONE select builds the storage row: is_deleted fold, tombstone
         # payload nulling, sha256 invariant, schema align (cast every
         # column to the manifest type) and the bucket column.  Each
@@ -662,6 +687,7 @@ class LakehouseSink(Sink):
             *[_store(n, t) for n, t in (tuple(x) for x in fields)],
             self._bucket_expr().alias("_bucket"),
         )
+        phase_ms["_sub_store"] = int((time.monotonic() - _t_sub) * 1000); _t_sub = time.monotonic()
 
         if n_batch == 0:
             res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
@@ -677,42 +703,90 @@ class LakehouseSink(Sink):
 
         if have_existing:
             existing = self._read_files(
-                [p for fl in old_files.values() for p in fl], fields
+                [p for fl in old_files.values() for p in fl], fields,
+                spark=sess,
             ).withColumn("_bucket", self._bucket_expr())
-            guard_w = Window.partitionBy(*KEY_COLS).orderBy(
-                F.col("seq").desc(), F.col("_incoming").desc()
+            phase_ms["_sub_existread"] = int((time.monotonic() - _t_sub) * 1000); _t_sub = time.monotonic()
+            # The whole existing-side shape (semi/anti split or bulk
+            # union, guard window, final union) is ONE spark.sql
+            # statement: a 7-Dataset chain ran the analyzer over the
+            # full (deep) tree once per link — ~0.3 s/epoch of
+            # serialized driver time at the 64M bench shape (plan_write
+            # phase, VERDICT r04 #5); one statement is one pass.  The
+            # three relations are bound as DataFrame PARAMETERS
+            # (``sess.sql(..., ev=existing)``) — under the hood each
+            # binds through a hidden per-call ``_pyspark_*`` view in
+            # the DataFrame's OWN session, which is why every relation
+            # here (existing, win_local, batchw) and the sql() call
+            # itself use ``sess`` = the batch's session: in
+            # ``foreachBatch`` that is a CLONED micro-batch session
+            # whose temp-view catalog is disjoint from
+            # ``self.spark``'s, and any session mix-up is an
+            # AnalysisException at the first streaming epoch
+            # (tests/test_streaming.py).  Physical shape is unchanged
+            # and still pinned by tests/test_plans.py: broadcast hints
+            # (by table alias) keep the semi/anti joins
+            # BroadcastHashJoin, the window still resolves
+            # ``incoming.seq >= existing.seq`` with incoming winning
+            # ties.
+            cols = ", ".join(
+                f"`{n}`" for n in [*(n for n, _ in
+                                     (tuple(x) for x in fields)), "_bucket"]
+            )
+            keys_eq = " AND ".join(f"e.`{k}` = k.`{k}`" for k in KEY_COLS)
+            part = ", ".join(f"`{k}`" for k in KEY_COLS)
+            guard = (
+                f"row_number() OVER (PARTITION BY {part} "
+                "ORDER BY `seq` DESC, `_incoming` DESC)"
             )
             if n_batch <= self.broadcast_key_limit:
                 # normal micro-batch: broadcast the batch keys (the
                 # driver-local winner relation) — the (huge) existing
                 # side is scanned but NEVER shuffled; only ≤2×|batch|
                 # rows enter the guard window
-                bkeys = win_local.select(*KEY_COLS)
-                hit = existing.join(F.broadcast(bkeys), KEY_COLS, "left_semi")
-                miss = existing.join(F.broadcast(bkeys), KEY_COLS, "left_anti")
-                resolved = (
-                    hit.withColumn("_incoming", F.lit(0))
-                    .unionByName(batchw.withColumn("_incoming", F.lit(1)))
-                    .withColumn("_rn", F.row_number().over(guard_w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn", "_incoming")
+                bkeys = win_local.select(
+                    *[F.col(f"_w{k}").alias(k) for k in KEY_COLS]
                 )
-                out = miss.unionByName(resolved)
+                out = sess.sql(f"""
+                    WITH hit AS (
+                      SELECT /*+ BROADCAST(k) */ e.* FROM {{ev}} e
+                      LEFT SEMI JOIN {{kv}} k ON {keys_eq}
+                    ),
+                    miss AS (
+                      SELECT /*+ BROADCAST(k) */ e.* FROM {{ev}} e
+                      LEFT ANTI JOIN {{kv}} k ON {keys_eq}
+                    ),
+                    resolved AS (
+                      SELECT {cols} FROM (
+                        SELECT *, {guard} AS _rn FROM (
+                          SELECT {cols}, 0 AS `_incoming` FROM hit
+                          UNION ALL
+                          SELECT {cols}, 1 AS `_incoming` FROM {{bv}}
+                        )
+                      ) WHERE _rn = 1
+                    )
+                    SELECT {cols} FROM miss
+                    UNION ALL
+                    SELECT {cols} FROM resolved
+                """, ev=existing, kv=bkeys, bv=batchw)
             else:
                 # bulk-load shape (batch keys too large to broadcast):
                 # one shuffle of existing∪batch on the key — AQE handles
                 # residual skew; correctness identical (incoming wins
                 # ties via _incoming in the guard window)
-                out = (
-                    existing.withColumn("_incoming", F.lit(0))
-                    .unionByName(batchw.withColumn("_incoming", F.lit(1)))
-                    .withColumn("_rn", F.row_number().over(guard_w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn", "_incoming")
-                )
+                out = sess.sql(f"""
+                    SELECT {cols} FROM (
+                      SELECT *, {guard} AS _rn FROM (
+                        SELECT {cols}, 0 AS `_incoming` FROM {{ev}}
+                        UNION ALL
+                        SELECT {cols}, 1 AS `_incoming` FROM {{bv}}
+                      )
+                    ) WHERE _rn = 1
+                """, ev=existing, bv=batchw)
         else:
             out = batchw
 
+        phase_ms["_sub_joins"] = int((time.monotonic() - _t_sub) * 1000)
         if self._capture is not None:
             self._capture["out"] = _explain(out)
         # fetch/guard/align plan construction + the _align schema

@@ -33,7 +33,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.lww import decode_payload
 from ..plans.schema_evolution import DEFAULT_RULES, SchemaRules
 from ..sinks.base import Sink
 from .state import ControlTables
@@ -145,17 +144,31 @@ def _active_rules(df: DataFrame, rules: SchemaRules,
 
 
 def _apply_projection(df: DataFrame, active: SchemaRules) -> DataFrame:
-    """Decode + project one batch under already-probed rules.  The
-    ``from_json`` map decode runs only when at least one typed column
-    is actually being projected."""
-    if active.typed_columns:
-        df = decode_payload(df)
-    else:
-        df = df.withColumn(
-            "_payload_map", F.lit(None).cast("map<string,string>")
-        )
-    df = active.project(df)
-    return df.drop("_payload_map", "payload", "ts")
+    """Decode + project one batch under already-probed rules in ONE
+    select (one eagerly-analyzed Dataset, not a decode + per-column
+    withColumn chain — each chain link re-analyzed the whole batch
+    subtree; plan_write phase, VERDICT r04 #5).  The ``from_json`` map
+    decode appears only when a typed column is actually projected, and
+    renames become per-column ``coalesce(new-key, old-keys…)`` lookups
+    instead of a whole-map ``transform_keys`` — same surfaced values
+    (the canonicalized rename map points every old key at its terminal
+    name), with the new-name key deterministically preferred when a
+    payload carries both."""
+    dropped = {"payload", "ts"}
+    base = [c for c in df.columns
+            if c not in dropped and c not in active.typed_columns]
+    if not active.typed_columns:
+        return df.select(*base)
+    m = F.from_json(F.col("payload"), "map<string,string>")
+    typed = []
+    for name, sqltype in active.typed_columns.items():
+        lookups = [F.element_at(m, name)] + [
+            F.element_at(m, old)
+            for old, new in active.renames.items() if new == name
+        ]
+        v = F.coalesce(*lookups) if len(lookups) > 1 else lookups[0]
+        typed.append(v.cast(sqltype).alias(name))
+    return df.select(*base, *typed)
 
 
 def prepare_batch(df: DataFrame, rules: SchemaRules,

@@ -107,9 +107,9 @@ def test_mor_merge_never_reads_existing(spark, tmp_path, monkeypatch):
     calls = {"n": 0}
     orig = LS._read_files
 
-    def counting(self, files, schema_fields):
+    def counting(self, files, schema_fields, spark=None):
         calls["n"] += 1
-        return orig(self, files, schema_fields)
+        return orig(self, files, schema_fields, spark)
 
     monkeypatch.setattr(LS, "_read_files", counting)
 
