@@ -16,8 +16,10 @@ Implementations:
   ``os.link`` (atomic, EEXIST on loss) for put-if-absent and
   ``os.replace`` for the pointer.  Correct on any POSIX filesystem
   with atomic link/rename (ext4, XFS, HDFS via a local mount, NFSv4).
-* :class:`S3ConditionalPutCommitStore` — interfaced, unimplemented in
-  this sandbox (no network/boto3): documents the cloud mapping.
+* :class:`S3ConditionalPutCommitStore` — the cloud mapping,
+  implemented over any boto3-s3-shaped client (conditional-PUT
+  put-if-absent with the documented 412/409 handling); contract-tested
+  against an in-memory fake since this sandbox has no network.
 """
 
 from __future__ import annotations
@@ -143,37 +145,149 @@ class LocalFSCommitStore(CommitStore):
         os.replace(tmp, self._pointer)
 
 
+def _s3_error(exc) -> tuple[str | None, int | None]:
+    """(error code, HTTP status) from a botocore-shaped ClientError —
+    duck-typed off ``exc.response`` so tests can inject a fake client
+    without importing botocore."""
+    resp = getattr(exc, "response", None)
+    if not isinstance(resp, dict):
+        return None, None
+    code = (resp.get("Error") or {}).get("Code")
+    status = (resp.get("ResponseMetadata") or {}).get("HTTPStatusCode")
+    return code, status
+
+
 class S3ConditionalPutCommitStore(CommitStore):
-    """Cloud mapping of the same contract — INTERFACED, not runnable
-    here (no network or AWS SDK in the sandbox):
+    """Cloud mapping of the same contract:
 
     * ``put_if_absent`` → ``PutObject`` with ``If-None-Match: *``
       (S3 conditional writes, GA since 2024; GCS ``ifGenerationMatch=0``
-      and ABFS ``If-None-Match: *`` are the same primitive).  Pre-2024
-      S3 needs a DynamoDB lock table instead (Delta's S3DynamoDBLogStore
-      pattern).
+      and ABFS ``If-None-Match: *`` are the same primitive).  A 412
+      PreconditionFailed means the name exists — we lost the race; a
+      409 ConditionalRequestConflict means ANOTHER conditional PUT on
+      the same key is in flight — probe whether it materialized, else
+      retry (AWS's documented client contract for conditional writes).
+      Pre-2024 S3 endpoints without conditional writes need a DynamoDB
+      lock table instead (Delta's S3DynamoDBLogStore pattern).
     * pointer → plain ``PutObject`` of ``CURRENT`` (last-writer-wins is
-      fine for a forward-probed hint).
+      fine for a forward-probed hint; the read-before-write keeps it
+      best-effort monotonic, and readers probe forward anyway).
     * ``read``/``exists``/``list_names`` → GetObject / HeadObject /
       ListObjectsV2 under the manifest prefix.
 
-    Implementing = filling these methods with boto3 calls; no sink
-    changes required.
+    ``client`` is any boto3-s3-shaped object (``put_object`` /
+    ``get_object`` / ``head_object`` / ``list_objects_v2`` /
+    ``delete_object``); default is ``boto3.client("s3")`` when boto3
+    is importable.  The OCC contract tests run against this class with
+    an in-memory fake (tests/test_commit_store.py) — this sandbox has
+    no network, so the real wiring is exercised only at the
+    request-shape level.
     """
 
-    def __init__(self, bucket: str, prefix: str):
-        raise NotImplementedError(
-            "S3 commit store requires boto3 + network; see class "
-            "docstring for the exact API mapping"
+    def __init__(self, bucket: str, prefix: str, client=None):
+        if client is None:
+            try:
+                import boto3  # not in this sandbox; available on EMR etc.
+            except ImportError as e:
+                raise NotImplementedError(
+                    "S3 commit store needs boto3 (or an injected "
+                    "boto3-shaped client)"
+                ) from e
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.prefix = prefix.strip("/")
+        self.client = client
+
+    def _key(self, name: str) -> str:
+        return f"{self.prefix}/{name}" if self.prefix else name
+
+    def ensure(self) -> None:
+        # buckets are provisioned out-of-band; prefixes need no create
+        return None
+
+    def put_if_absent(self, name: str, data: bytes) -> bool:
+        for _ in range(8):
+            try:
+                self.client.put_object(
+                    Bucket=self.bucket, Key=self._key(name), Body=data,
+                    IfNoneMatch="*",
+                )
+                return True
+            except Exception as e:  # noqa: BLE001 — inspect & re-raise
+                code, status = _s3_error(e)
+                if code == "PreconditionFailed" or status == 412:
+                    return False  # name exists — clean loss
+                if code == "ConditionalRequestConflict" or status == 409:
+                    # a concurrent conditional PUT is in flight on this
+                    # key; if it materialized we lost, else retry ours
+                    if self.exists(name):
+                        return False
+                    continue
+                raise
+        # 8 straight conflicts and the object never materialized —
+        # surface it rather than guess (a caller retry re-reads the
+        # manifest and rebases, which is always safe)
+        raise TimeoutError(
+            f"put_if_absent({name}): persistent conditional-write "
+            "conflict without a committed object"
         )
 
-    # abstract members are declared unreachable on purpose — the class
-    # documents the port surface
-    def ensure(self): ...                                # pragma: no cover
-    def put_if_absent(self, name, data): ...             # pragma: no cover
-    def read(self, name): ...                            # pragma: no cover
-    def exists(self, name): ...                          # pragma: no cover
-    def list_names(self): ...                            # pragma: no cover
-    def delete(self, name): ...                          # pragma: no cover
-    def read_pointer(self): ...                          # pragma: no cover
-    def advance_pointer(self, version): ...              # pragma: no cover
+    def read(self, name: str) -> bytes:
+        try:
+            resp = self.client.get_object(
+                Bucket=self.bucket, Key=self._key(name)
+            )
+        except Exception as e:  # noqa: BLE001
+            code, status = _s3_error(e)
+            if code in ("NoSuchKey", "404") or status == 404:
+                raise FileNotFoundError(name) from e
+            raise
+        return resp["Body"].read()
+
+    def exists(self, name: str) -> bool:
+        try:
+            self.client.head_object(
+                Bucket=self.bucket, Key=self._key(name)
+            )
+            return True
+        except Exception as e:  # noqa: BLE001
+            code, status = _s3_error(e)
+            if code in ("NoSuchKey", "404") or status == 404:
+                return False
+            raise
+
+    def list_names(self) -> list[str]:
+        names, token = [], None
+        pfx = f"{self.prefix}/" if self.prefix else ""
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": pfx}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for obj in resp.get("Contents", []):
+                name = obj["Key"][len(pfx):]
+                # direct children only; skip the pointer + tmp debris
+                if name and "/" not in name and name != "CURRENT":
+                    names.append(name)
+            if not resp.get("IsTruncated"):
+                return sorted(names)
+            token = resp.get("NextContinuationToken")
+
+    def delete(self, name: str) -> None:
+        # S3 DeleteObject is idempotent (204 on missing keys)
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(name))
+
+    def read_pointer(self) -> int | None:
+        try:
+            return int(self.read("CURRENT").decode().strip())
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def advance_pointer(self, version: int) -> None:
+        cur = self.read_pointer()
+        if cur is not None and cur >= version:
+            return
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._key("CURRENT"),
+            Body=str(version).encode(),
+        )

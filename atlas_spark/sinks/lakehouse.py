@@ -1159,7 +1159,7 @@ class LakehouseSink(Sink):
             int(n.split(".")[1]) for n in store.list_names()
             if n.startswith("manifest.")
         )
-        if retain_versions is not None:
+        if retain_versions is not None and versions:
             assert retain_versions >= 1
             cutoff = versions[-1] - retain_versions + 1
             pruned = [v for v in versions if v < cutoff]

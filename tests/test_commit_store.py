@@ -1,7 +1,12 @@
 """CommitStore seam unit tests (VERDICT r04 task #4): the OCC contract
-is enforced at the interface level, independent of Spark or the sink."""
+is enforced at the interface level, independent of Spark or the sink.
+Both implementations run the same contract suite — LocalFS against the
+real filesystem, S3 against an in-memory fake that reproduces S3's
+conditional-write semantics (If-None-Match: * → 412 on existence,
+injectable 409 ConditionalRequestConflict)."""
 
 import concurrent.futures as cf
+import threading
 
 import pytest
 
@@ -12,53 +17,180 @@ from atlas_spark.sinks.commit_store import (
 )
 
 
-def _store(tmp_path) -> LocalFSCommitStore:
-    s = LocalFSCommitStore(str(tmp_path / "log"))
+class _ClientError(Exception):
+    """botocore.exceptions.ClientError shape (duck-typed: the store
+    only inspects ``.response``)."""
+
+    def __init__(self, code: str, status: int):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
+class FakeS3Client:
+    """In-memory boto3-s3 shape with real conditional-PUT semantics.
+
+    ``conflicts_then_commit``: make the next N conditional PUTs raise
+    409 ConditionalRequestConflict (a concurrent conditional write in
+    flight); if ``commit_body`` is set, the "other writer" wins the key
+    during the conflict window — reproducing both documented 409
+    outcomes (retry-and-win, probe-and-lose)."""
+
+    def __init__(self):
+        self.objects: dict[str, bytes] = {}
+        self.lock = threading.Lock()
+        self.conflicts_remaining = 0
+        self.conflict_commit: tuple[str, bytes] | None = None
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        if isinstance(Body, str):
+            Body = Body.encode()
+        with self.lock:
+            if IfNoneMatch == "*":
+                if self.conflicts_remaining > 0:
+                    self.conflicts_remaining -= 1
+                    if (self.conflict_commit
+                            and self.conflict_commit[0] == Key):
+                        self.objects[Key] = self.conflict_commit[1]
+                    raise _ClientError("ConditionalRequestConflict", 409)
+                if Key in self.objects:
+                    raise _ClientError("PreconditionFailed", 412)
+            self.objects[Key] = bytes(Body)
+        return {}
+
+    def get_object(self, Bucket, Key, **kw):
+        with self.lock:
+            if Key not in self.objects:
+                raise _ClientError("NoSuchKey", 404)
+            data = self.objects[Key]
+
+        class _Body:
+            def read(self_inner):
+                return data
+
+        return {"Body": _Body()}
+
+    def head_object(self, Bucket, Key, **kw):
+        with self.lock:
+            if Key not in self.objects:
+                raise _ClientError("404", 404)
+        return {}
+
+    def list_objects_v2(self, Bucket, Prefix="", ContinuationToken=None,
+                        **kw):
+        # one-key pages to exercise the store's continuation loop
+        with self.lock:
+            keys = sorted(k for k in self.objects if k.startswith(Prefix))
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page = keys[start:start + 1]
+        truncated = start + 1 < len(keys)
+        resp = {
+            "Contents": [{"Key": k} for k in page],
+            "IsTruncated": truncated,
+        }
+        if truncated:
+            resp["NextContinuationToken"] = str(start + 1)
+        return resp
+
+    def delete_object(self, Bucket, Key, **kw):
+        with self.lock:
+            self.objects.pop(Key, None)
+        return {}
+
+
+@pytest.fixture(params=["localfs", "s3"])
+def store(request, tmp_path) -> CommitStore:
+    if request.param == "localfs":
+        s = LocalFSCommitStore(str(tmp_path / "log"))
+    else:
+        s = S3ConditionalPutCommitStore(
+            "bucket", "tables/t/_manifest", client=FakeS3Client()
+        )
     s.ensure()
     return s
 
 
-def test_put_if_absent_single_winner_under_contention(tmp_path):
-    s = _store(tmp_path)
+def test_put_if_absent_single_winner_under_contention(store):
     with cf.ThreadPoolExecutor(8) as ex:
         results = list(ex.map(
-            lambda i: s.put_if_absent("manifest.1.json", b"%d" % i),
+            lambda i: store.put_if_absent("manifest.1.json", b"%d" % i),
             range(16),
         ))
     assert sum(results) == 1
     # the committed object is one of the contenders, intact
-    assert s.read("manifest.1.json") in {b"%d" % i for i in range(16)}
+    assert store.read("manifest.1.json") in {b"%d" % i for i in range(16)}
 
 
-def test_objects_are_immutable(tmp_path):
-    s = _store(tmp_path)
-    assert s.put_if_absent("m.json", b"first")
-    assert not s.put_if_absent("m.json", b"second")
-    assert s.read("m.json") == b"first"
+def test_objects_are_immutable(store):
+    assert store.put_if_absent("m.json", b"first")
+    assert not store.put_if_absent("m.json", b"second")
+    assert store.read("m.json") == b"first"
 
 
-def test_pointer_monotonic(tmp_path):
-    s = _store(tmp_path)
-    assert s.read_pointer() is None
-    s.advance_pointer(3)
-    s.advance_pointer(1)  # laggard must not regress
-    assert s.read_pointer() == 3
-    s.advance_pointer(4)
-    assert s.read_pointer() == 4
+def test_read_missing_raises_filenotfound(store):
+    with pytest.raises(FileNotFoundError):
+        store.read("nope.json")
+    assert not store.exists("nope.json")
 
 
-def test_list_and_delete_exclude_internals(tmp_path):
-    s = _store(tmp_path)
-    s.put_if_absent("manifest.1.json", b"a")
-    s.put_if_absent("manifest.2.json", b"b")
-    s.advance_pointer(2)
-    assert s.list_names() == ["manifest.1.json", "manifest.2.json"]
-    s.delete("manifest.1.json")
-    s.delete("manifest.1.json")  # idempotent
-    assert s.list_names() == ["manifest.2.json"]
+def test_pointer_monotonic(store):
+    assert store.read_pointer() is None
+    store.advance_pointer(3)
+    store.advance_pointer(1)  # laggard must not regress
+    assert store.read_pointer() == 3
+    store.advance_pointer(4)
+    assert store.read_pointer() == 4
 
 
-def test_s3_store_is_interfaced_not_implemented():
-    assert issubclass(S3ConditionalPutCommitStore, CommitStore)
-    with pytest.raises(NotImplementedError):
-        S3ConditionalPutCommitStore("bucket", "prefix")
+def test_list_and_delete_exclude_internals(store):
+    store.put_if_absent("manifest.1.json", b"a")
+    store.put_if_absent("manifest.2.json", b"b")
+    store.advance_pointer(2)
+    assert store.list_names() == ["manifest.1.json", "manifest.2.json"]
+    store.delete("manifest.1.json")
+    store.delete("manifest.1.json")  # idempotent
+    assert store.list_names() == ["manifest.2.json"]
+
+
+def test_s3_conflict_retries_then_wins(tmp_path):
+    """409 ConditionalRequestConflict with no committed object: the
+    store retries its own PUT and eventually wins."""
+    client = FakeS3Client()
+    s = S3ConditionalPutCommitStore("b", "p", client=client)
+    client.conflicts_remaining = 3
+    assert s.put_if_absent("manifest.7.json", b"mine")
+    assert s.read("manifest.7.json") == b"mine"
+
+
+def test_s3_conflict_probes_and_loses(tmp_path):
+    """409 where the concurrent writer's object materializes: the
+    store must report a clean loss, not overwrite."""
+    client = FakeS3Client()
+    s = S3ConditionalPutCommitStore("b", "p", client=client)
+    client.conflicts_remaining = 1
+    client.conflict_commit = ("p/manifest.7.json", b"theirs")
+    assert not s.put_if_absent("manifest.7.json", b"mine")
+    assert s.read("manifest.7.json") == b"theirs"
+
+
+def test_s3_persistent_conflict_surfaces(tmp_path):
+    client = FakeS3Client()
+    s = S3ConditionalPutCommitStore("b", "p", client=client)
+    client.conflicts_remaining = 999
+    with pytest.raises(TimeoutError):
+        s.put_if_absent("manifest.9.json", b"mine")
+
+
+def test_s3_store_default_client_wiring():
+    # with boto3 importable the default client wires up; without it
+    # construction must fail loudly, not half-initialize
+    try:
+        import boto3  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            S3ConditionalPutCommitStore("bucket", "prefix")
+    else:
+        s = S3ConditionalPutCommitStore("bucket", "prefix")
+        assert s.client is not None and s.prefix == "prefix"
