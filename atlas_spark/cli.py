@@ -149,40 +149,95 @@ def cmd_status(args) -> int:
     if not cfg.sink.table_root:
         print("config error: sink.table_root required", file=sys.stderr)
         return 2
+    as_json = bool(getattr(args, "json", False))
     spark, sink, control, _ = _build(cfg)
-    print(f"table: {cfg.sink.table_root}")
     m = sink.manifest() if hasattr(sink, "manifest") else {}
-    print(
-        f"version={m.get('version')} last_epoch={m.get('committed_epoch_max')} "
-        f"buckets={m.get('n_buckets')} "
-        f"schema={[n for n, _ in (tuple(x) for x in m.get('schema', []))]}"
-    )
+    summary = {
+        "table": cfg.sink.table_root,
+        "version": m.get("version"),
+        "last_epoch": m.get("committed_epoch_max"),
+        "buckets": m.get("n_buckets"),
+        "schema": [n for n, _ in (tuple(x) for x in m.get("schema", []))],
+    }
+    if not as_json:
+        print(f"table: {summary['table']}")
+        print(
+            f"version={summary['version']} last_epoch={summary['last_epoch']} "
+            f"buckets={summary['buckets']} schema={summary['schema']}"
+        )
     # status glyph column + filters (reference `status` parity,
     # src/cli/commands/status.rs:93-127: per-watermark glyphs and
     # --template-id/--ehr-id filters).  Watermarks here are keyed by
     # (epoch, bucket) — bucketing is on hash(repo, path), so the
     # filter analogs are --epoch / --bucket, not a repo name.
+    # ControlTables writes in_progress/completed/interrupted/recovered
+    # (state.py:84,100,157,174) — match those, not "started"
+    # (ADVICE r05 #2).
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     glyph = (
         F.when(F.col("status") == "completed", F.lit("✅ completed"))
-        .when(F.col("status") == "started", F.lit("🔄 in progress"))
+        .when(F.col("status") == "in_progress", F.lit("🔄 in progress"))
         .when(F.col("status") == "interrupted", F.lit("❌ interrupted"))
+        .when(F.col("status") == "recovered", F.lit("♻️  recovered"))
         .otherwise(F.concat(F.lit("⏸️  "), F.col("status")))
     )
     try:
-        wm = control.watermarks_df(spark).withColumn("status", glyph)
+        wm = control.watermarks_df(spark)
+        # Per-bucket watermark LAG (status.rs:93-127 prints lag-style
+        # detail per watermark): each bucket's newest max_seq_applied vs
+        # the most-advanced bucket's — "how far behind the frontier is
+        # this bucket".  O(buckets) rows; aggregate-sized.
+        latest = (
+            wm.filter(F.col("partition_id") >= 0)
+            .groupBy("partition_id")
+            .agg(F.max("max_seq_applied").alias("max_seq_applied"))
+        )
+        lag = latest.withColumn(
+            "seq_lag",
+            F.max("max_seq_applied").over(Window.partitionBy())
+            - F.col("max_seq_applied"),
+        )
+        wm = wm.withColumn("status_glyph", glyph)
         if getattr(args, "epoch", None) is not None:
             wm = wm.filter(F.col("epoch_id") == args.epoch)
         if getattr(args, "bucket", None) is not None:
             wm = wm.filter(F.col("partition_id") == args.bucket)
-        wm.orderBy("epoch_id", "partition_id").show(50, truncate=False)
-        mdf = control.metrics_df(spark).withColumn("status", glyph)
+            lag = lag.filter(F.col("partition_id") == args.bucket)
+        mdf = control.metrics_df(spark).withColumn("status_glyph", glyph)
         if getattr(args, "epoch", None) is not None:
             mdf = mdf.filter(F.col("epoch_id") == args.epoch)
-        mdf.orderBy("epoch_id").show(50, truncate=False)
-    except Exception:  # noqa: BLE001 — empty control tables
-        print("no control tables yet")
+        wm = wm.orderBy("epoch_id", "partition_id")
+        lag = lag.orderBy("partition_id")
+        mdf = mdf.orderBy("epoch_id")
+        if as_json:
+            import json as _json
+
+            def rows(df):
+                return [r.asDict() for r in df.drop("status_glyph").collect()]
+
+            doc = dict(
+                summary,
+                watermarks=rows(wm),
+                bucket_lag=rows(lag),
+                metrics=rows(mdf),
+            )
+            print(_json.dumps(doc, default=str))
+        else:
+            wm.drop("status").withColumnRenamed(
+                "status_glyph", "status").show(50, truncate=False)
+            lag.show(50, truncate=False)
+            mdf.drop("status").withColumnRenamed(
+                "status_glyph", "status").show(50, truncate=False)
+    except Exception as e:  # noqa: BLE001 — empty control tables
+        if as_json:
+            import json as _json
+
+            print(_json.dumps(dict(summary, watermarks=[], bucket_lag=[],
+                                   metrics=[], note="no control tables yet")))
+        else:
+            print(f"no control tables yet ({type(e).__name__})")
     spark.stop()
     return 0
 
@@ -317,6 +372,10 @@ def main(argv=None) -> int:
                             help="show only this epoch's watermarks/metrics")
             sp.add_argument("--bucket", type=int, default=None,
                             help="show only this bucket's watermarks")
+            sp.add_argument("--json", action="store_true",
+                            help="emit one machine-readable JSON doc "
+                                 "(summary + watermarks + bucket_lag + "
+                                 "metrics) instead of tables")
         if name == "vacuum":
             sp.add_argument("--retain-versions", type=int, default=None,
                             help="prune manifests older than the newest "

@@ -55,22 +55,24 @@ class SchemaRules:
         # name up front ({"lang": "tongue", "language": "tongue"}) so
         # one remap pass is still sufficient; reject cycles loudly
         # (a↔b swap semantics are ambiguous on a keyed map).
+        # Self-renames ({"b": "b"}) are documented no-ops — strip them
+        # BEFORE resolving chains, otherwise a chain terminating in one
+        # (e.g. {"a": "b", "b": "b"}) re-visits its terminal and is
+        # misread as a cycle (ADVICE r05 #1).
+        renames = {o: n for o, n in self.renames.items() if o != n}
         resolved = {}
-        for old in self.renames:
-            if self.renames[old] == old:
-                continue  # no-op self-rename
+        for old in renames:
             seen = {old}
-            cur = self.renames[old]
-            while cur in self.renames:
+            cur = renames[old]
+            while cur in renames:
                 if cur in seen:
                     raise ValueError(
                         f"rename cycle involving {sorted(seen)!r}: "
                         "renames must converge to a terminal name"
                     )
                 seen.add(cur)
-                cur = self.renames[cur]
-            if cur != old:  # drop no-op self-renames
-                resolved[old] = cur
+                cur = renames[cur]
+            resolved[old] = cur
         self.renames = resolved
 
     def project(self, df: DataFrame, map_col: str = "_payload_map") -> DataFrame:

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import Sink
+from .lakehouse import _bq
 from .retry import with_retries
 
 
@@ -81,7 +82,7 @@ class IcebergSink(Sink):
             if f_.name not in table_cols and f_.name not in ("op",) and not f_.name.startswith("_"):
                 self.spark.sql(
                     f"ALTER TABLE {self.table} ADD COLUMN "
-                    f"`{f_.name}` {f_.dataType.simpleString()}"
+                    f"{_bq(f_.name)} {f_.dataType.simpleString()}"
                 )
 
         w = Window.partitionBy("repo", "path").orderBy(
@@ -103,9 +104,9 @@ class IcebergSink(Sink):
         batchw.createOrReplaceTempView("_atlas_batch")
 
         cols = [f.name for f in batchw.schema.fields]
-        set_clause = ", ".join(f"t.`{c}` = s.`{c}`" for c in cols)
-        insert_cols = ", ".join(f"`{c}`" for c in cols)
-        insert_vals = ", ".join(f"s.`{c}`" for c in cols)
+        set_clause = ", ".join(f"t.{_bq(c)} = s.{_bq(c)}" for c in cols)
+        insert_cols = ", ".join(_bq(c) for c in cols)
+        insert_vals = ", ".join(f"s.{_bq(c)}" for c in cols)
         # LWW guard: only newer-or-equal seq may touch a row; tombstones
         # are UPDATEs (is_deleted=true), physically removed by periodic
         # compaction — identical semantics to LakehouseSink.merge.

@@ -78,9 +78,16 @@ def _promote(a: str, b: str) -> str:
     raise ValueError(f"incompatible schema evolution: {a} vs {b}")
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a SQL identifier, escaping embedded backticks
+    (`` ` `` → ```` `` ````) — a declared column name containing a
+    backtick must not break or alter interpolated SQL (ADVICE r05 #3)."""
+    return f"`{name.replace('`', '``')}`"
+
+
 def _ddl(fields: list[tuple[str, str]]) -> T.StructType:
     return T.StructType.fromDDL(
-        ", ".join(f"`{n}` {t}" for n, t in fields)
+        ", ".join(f"{_bq(n)} {t}" for n, t in fields)
     )
 
 
@@ -730,11 +737,11 @@ class LakehouseSink(Sink):
             # ``incoming.seq >= existing.seq`` with incoming winning
             # ties.
             cols = ", ".join(
-                f"`{n}`" for n in [*(n for n, _ in
-                                     (tuple(x) for x in fields)), "_bucket"]
+                _bq(n) for n in [*(n for n, _ in
+                                   (tuple(x) for x in fields)), "_bucket"]
             )
-            keys_eq = " AND ".join(f"e.`{k}` = k.`{k}`" for k in KEY_COLS)
-            part = ", ".join(f"`{k}`" for k in KEY_COLS)
+            keys_eq = " AND ".join(f"e.{_bq(k)} = k.{_bq(k)}" for k in KEY_COLS)
+            part = ", ".join(_bq(k) for k in KEY_COLS)
             guard = (
                 f"row_number() OVER (PARTITION BY {part} "
                 "ORDER BY `seq` DESC, `_incoming` DESC)"

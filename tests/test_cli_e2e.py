@@ -57,6 +57,20 @@ def test_cli_lifecycle(tmp_path):
     wm_lines = [l for l in r2f.stdout.splitlines() if "✅" in l]
     assert wm_lines and all("|1  " not in l for l in wm_lines)
 
+    # --json: one machine-readable doc with summary + watermarks +
+    # per-bucket lag + metrics (status.rs:93-127 lag-detail parity)
+    rj = _cli("status", "-c", str(cfg), "--json")
+    assert rj.returncode == 0, rj.stderr[-2000:]
+    doc = json.loads(rj.stdout.strip().splitlines()[-1])
+    assert doc["last_epoch"] == 1 and doc["buckets"] == 4
+    assert doc["watermarks"] and all(
+        w["status"] in ("completed", "in_progress", "interrupted",
+                        "recovered") for w in doc["watermarks"])
+    lags = {r["partition_id"]: r["seq_lag"] for r in doc["bucket_lag"]}
+    assert lags and min(lags.values()) == 0 and all(
+        v >= 0 for v in lags.values())
+    assert doc["metrics"] and doc["metrics"][0]["rows_in"] > 0
+
     # second replay: everything fenced
     r3 = _cli("replay", "-c", str(cfg))
     assert r3.returncode == 0

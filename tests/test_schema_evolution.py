@@ -133,6 +133,13 @@ def test_rename_cycle_rejected_self_rename_dropped():
     with pytest.raises(ValueError, match="cycle"):
         SchemaRules(renames={"a": "b", "b": "c", "c": "a"})
     assert SchemaRules(renames={"a": "a"}).renames == {}
+    # ADVICE r05 #1: a chain terminating in a self-rename is NOT a
+    # cycle — self-renames are no-ops and must be stripped before the
+    # chain walk, not revisited by it
+    assert SchemaRules(renames={"a": "b", "b": "b"}).renames == {"a": "b"}
+    assert SchemaRules(
+        renames={"a": "b", "b": "c", "c": "c"}
+    ).renames == {"a": "c", "b": "c"}
 
 
 def test_rename_chain_property_matches_iterated_application():
@@ -151,7 +158,10 @@ def test_rename_chain_property_matches_iterated_application():
             rules = SchemaRules(renames=dict(raw))
         except ValueError:
             # must be a genuine cycle: some key returns to itself
+            # (self-renames stripped first — they are no-ops, and a
+            # chain ENDING in one is not a cycle: ADVICE r05 #1)
             def cycles(m):
+                m = {k: v for k, v in m.items() if k != v}
                 for k in m:
                     seen, cur = {k}, m[k]
                     while cur in m and cur != k:

@@ -286,6 +286,26 @@ def test_declared_columns_skip_probe_and_store_values(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_backtick_in_declared_column_name(spark, tmp_path):
+    """ADVICE r05 #3: the fused merge SQL interpolates manifest column
+    names into backtick-quoted identifiers — a declared name containing
+    a backtick must be escaped (`` ` `` → ```` `` ````), not break or
+    alter the statement.  Exercised on broadcast AND bulk existing-side
+    shapes (second merge hits the fused SQL with files present)."""
+    for limit, path_name in [(1_000_000, "broadcast"), (0, "bulk")]:
+        sink = LakehouseSink(spark, str(tmp_path / path_name), n_buckets=2,
+                             broadcast_key_limit=limit)
+        sink.ensure(declared_columns=[("odd`col", "string")])
+        sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"]]), 0)
+        m = sink.merge(_df(spark, [[2, "U", "r", "a", "c2", "py", "v2"],
+                                   [3, "I", "r", "b", "c3", "py", "v3"]]), 1)
+        assert m["merge_path"] == path_name
+        rows = {(r["repo"], r["path"]): r for r in sink.read().collect()}
+        assert rows[("r", "a")]["commit"] == "c2"
+        assert rows[("r", "b")]["commit"] == "c3"
+        assert rows[("r", "a")]["odd`col"] is None
+
+
 def test_null_key_rows_dropped_identically_on_both_paths(spark, tmp_path):
     """Rows with a NULL key column (quarantine's job upstream) are
     DROPPED by the merge, with identical stats, on the broadcast AND
