@@ -49,6 +49,11 @@ class ChangelogSpec:
     duplicate_frac: float = 0.0
     out_of_order_deletes: int = 0  # number of planted late-delete pairs
     schema_evolution: bool = False
+    # nested-struct evolution (VERDICT r05 #6): payload carries a
+    # ``meta`` OBJECT ({"owner": "uN"}) whose ``depth`` subfield only
+    # appears from evo_add_at on — the deep-flatten mid-stream-add
+    # scenario (reference models.rs:384-423)
+    nested_evolution: bool = False
     hot_repo_frac: float = 0.0  # e.g. 0.30 → repo_00 gets 30% of events
     content_words: tuple[int, int] = (10, 120)  # min/max body lines
     # payload evolution breakpoints (fractions of the stream)
@@ -149,9 +154,23 @@ def generate_changelog(spec: ChangelogSpec) -> pd.DataFrame:
         ', "lines": ' + pd.Series(lines_val).astype(str),
         "",
     )
+    if spec.nested_evolution:
+        nest_at = int(n * spec.evo_add_at)
+        depth = rng.integers(0, 64, size=n)
+        depth_part = np.where(
+            idx >= nest_at,
+            ', "depth": ' + pd.Series(depth).astype(str),
+            "",
+        )
+        meta_part = (
+            ', "meta": {"owner": "u' + pd.Series(author).astype(str)
+            + '"' + pd.Series(depth_part) + "}"
+        )
+    else:
+        meta_part = pd.Series([""] * n)
     payload = (
         '{"' + pd.Series(akey) + '": "u' + pd.Series(author).astype(str)
-        + '"' + pd.Series(lines_part) + "}"
+        + '"' + pd.Series(lines_part) + pd.Series(meta_part) + "}"
     ).tolist()
 
     ts = _T0 + (seq * 1_000_000 + rng.integers(0, 900_000, size=n)).astype(

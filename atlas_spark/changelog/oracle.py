@@ -28,8 +28,15 @@ import json
 import pandas as pd
 
 
-def apply_reference(changelog: pd.DataFrame) -> dict[tuple[str, str], dict]:
-    """Fold the changelog (any row order) into final state, by seq."""
+def apply_reference(changelog: pd.DataFrame,
+                    payload_fields: dict | None = None
+                    ) -> dict[tuple[str, str], dict]:
+    """Fold the changelog (any row order) into final state, by seq.
+
+    ``payload_fields``: extra evolved columns beyond the default rules
+    — ``{column_name: fn(payload_dict) -> value}``, e.g. the nested
+    deep-flatten scenario's ``{"meta_depth": lambda p:
+    (p.get("meta") or {}).get("depth")}``."""
     ordered = changelog.sort_values("seq", kind="stable")
     state: dict[tuple[str, str], dict] = {}
     for row in ordered.itertuples(index=False):
@@ -40,7 +47,7 @@ def apply_reference(changelog: pd.DataFrame) -> dict[tuple[str, str], dict]:
             payload = json.loads(row.payload) if row.payload else {}
             committer = payload.get("committer", payload.get("author"))
             lines = payload.get("lines")
-            state[key] = {
+            rec = {
                 "repo": row.repo,
                 "path": row.path,
                 "commit": row.commit,
@@ -50,12 +57,16 @@ def apply_reference(changelog: pd.DataFrame) -> dict[tuple[str, str], dict]:
                 "committer": committer,
                 "lines": int(lines) if lines is not None else None,
             }
+            for col, fn in (payload_fields or {}).items():
+                rec[col] = fn(payload)
+            state[key] = rec
     return state
 
 
-def expected_state_pdf(changelog: pd.DataFrame) -> pd.DataFrame:
+def expected_state_pdf(changelog: pd.DataFrame,
+                       payload_fields: dict | None = None) -> pd.DataFrame:
     """Oracle final state as a DataFrame with the sha256 invariant column."""
-    state = apply_reference(changelog)
+    state = apply_reference(changelog, payload_fields)
     rows = []
     for rec in state.values():
         r = dict(rec)

@@ -32,6 +32,14 @@ def _renamed_key(k: Column, renames: dict[str, str]) -> Column:
     return out.otherwise(k) if out is not None else k
 
 
+def surfaced_name(path: str) -> str:
+    """Column name a payload path surfaces under: nested paths flatten
+    with underscores (``meta.depth`` → ``meta_depth``) — the deep-
+    flatten naming convention (reference flatten.rs:45-103 joins nested
+    keys the same way)."""
+    return path.replace(".", "_")
+
+
 @dataclass
 class SchemaRules:
     """Declared evolution for the dynamic payload.
@@ -41,6 +49,15 @@ class SchemaRules:
     ``typed_columns``: payload key → Spark SQL type for the typed
     projection; widening (int→long→double) is just declaring the
     widest type — older narrow values cast losslessly.
+
+    Keys (and rename endpoints) may be DOTTED PATHS into nested payload
+    structs (``"meta.depth": "bigint"``): the deep-flatten rule
+    (VERDICT r05 #6; reference models.rs:384-423).  A nested subfield
+    appearing mid-stream behaves exactly like a top-level add — absent
+    → null, present → typed — because extraction is a JSON-path lookup.
+    The surfaced column name flattens dots to underscores
+    (:func:`surfaced_name`); two paths surfacing to the same column
+    name are rejected loudly at construction.
     """
 
     renames: dict[str, str] = field(default_factory=dict)
@@ -74,24 +91,61 @@ class SchemaRules:
                 cur = renames[cur]
             resolved[old] = cur
         self.renames = resolved
+        # deep-flatten collision check: every declared path must surface
+        # to a distinct column name (``a.b`` and ``a_b`` both surface as
+        # ``a_b`` — silently merging them would corrupt the projection)
+        by_surface: dict[str, str] = {}
+        for path in self.typed_columns:
+            s = surfaced_name(path)
+            if s in by_surface:
+                raise ValueError(
+                    f"payload paths {by_surface[s]!r} and {path!r} both "
+                    f"surface as column {s!r} — rename one"
+                )
+            by_surface[s] = path
+
+    @staticmethod
+    def _extract(map_col: str, path: str) -> Column:
+        """Payload-path lookup on the decoded map.  Nested objects ride
+        the ``map<string,string>`` decode as their JSON text (Spark's
+        ``from_json`` keeps non-string values as JSON), so a dotted
+        path is one ``element_at`` for the root key plus one JVM-side
+        ``get_json_object`` for the rest — no Python, no re-parse of
+        the whole payload."""
+        segs = path.split(".")
+        root = F.element_at(F.col(map_col), segs[0])
+        if len(segs) == 1:
+            return root
+        return F.get_json_object(root, "$." + ".".join(segs[1:]))
 
     def project(self, df: DataFrame, map_col: str = "_payload_map") -> DataFrame:
-        """Apply renames on the map, then surface typed columns."""
-        if self.renames:
+        """Apply renames on the map, then surface typed columns.
+
+        Top-level renames remap the map's keys (``transform_keys``);
+        dotted-path renames can't be expressed as a key remap, so they
+        become per-column ``coalesce(new path, old paths…)`` lookups —
+        the same shape the runner's fused projection uses."""
+        flat = {o: n for o, n in self.renames.items()
+                if "." not in o and "." not in n}
+        if flat:
             df = df.withColumn(
                 map_col,
                 F.transform_keys(
-                    F.col(map_col), lambda k, v: _renamed_key(k, self.renames)
+                    F.col(map_col), lambda k, v: _renamed_key(k, flat)
                 ),
             )
-        for name, sqltype in self.typed_columns.items():
-            df = df.withColumn(
-                name, F.element_at(F.col(map_col), name).cast(sqltype)
-            )
+        for path, sqltype in self.typed_columns.items():
+            lookups = [self._extract(map_col, path)] + [
+                self._extract(map_col, old)
+                for old, new in self.renames.items()
+                if new == path and old not in flat
+            ]
+            v = F.coalesce(*lookups) if len(lookups) > 1 else lookups[0]
+            df = df.withColumn(surfaced_name(path), v.cast(sqltype))
         return df
 
     def evolved_column_types(self) -> dict[str, str]:
-        return dict(self.typed_columns)
+        return {surfaced_name(p): t for p, t in self.typed_columns.items()}
 
 
 # Rules registered for the synthetic corpus (FIXTURES.md §1

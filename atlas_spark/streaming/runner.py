@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.schema_evolution import DEFAULT_RULES, SchemaRules
+from ..plans.schema_evolution import DEFAULT_RULES, SchemaRules, surfaced_name
 from ..sinks.base import Sink
 from .state import ControlTables
 
@@ -124,17 +124,26 @@ def _active_rules(df: DataFrame, rules: SchemaRules,
     # all-null column one epoch early
     probes = {}
     for target in rules.typed_columns:
-        if target in known:
+        # ``known`` holds SURFACED sink column names (manifest schema);
+        # dotted payload paths surface flattened (meta.depth →
+        # meta_depth)
+        if surfaced_name(target) in known:
             continue
         names = [target] + [o for o, n in rules.renames.items() if n == target]
-        pat = "\"(" + "|".join(names) + ")\"\\s*:"
-        probes[target] = F.max(F.col("payload").rlike(pat)).alias(target)
+        # probe the LEAF key name: for a nested path the raw-string
+        # regex can't see nesting, and a false positive merely adds an
+        # all-null column one epoch early (same contract as flat adds)
+        leaves = sorted({p.split(".")[-1] for p in names})
+        pat = "\"(" + "|".join(leaves) + ")\"\\s*:"
+        probes[target] = F.max(F.col("payload").rlike(pat)).alias(
+            surfaced_name(target)
+        )
     if probes:
         row = df.agg(*probes.values()).collect()[0]
-        present = {k for k in probes if row[k]}
+        present = {k for k in probes if row[surfaced_name(k)]}
     else:
         present = set()
-    present |= known & set(rules.typed_columns)
+    present |= {p for p in rules.typed_columns if surfaced_name(p) in known}
     return SchemaRules(
         renames=rules.renames,
         typed_columns={
@@ -155,19 +164,29 @@ def _apply_projection(df: DataFrame, active: SchemaRules) -> DataFrame:
     name), with the new-name key deterministically preferred when a
     payload carries both."""
     dropped = {"payload", "ts"}
+    out_names = {surfaced_name(p) for p in active.typed_columns}
     base = [c for c in df.columns
-            if c not in dropped and c not in active.typed_columns]
+            if c not in dropped and c not in out_names]
     if not active.typed_columns:
         return df.select(*base)
     m = F.from_json(F.col("payload"), "map<string,string>")
+
+    def _lookup(path: str):
+        # top-level key: shared map decode; nested path: JVM JSON-path
+        # on the raw payload (deep flatten, VERDICT r05 #6) — both
+        # builtin, nothing per-row
+        if "." not in path:
+            return F.element_at(m, path)
+        return F.get_json_object(F.col("payload"), "$." + path)
+
     typed = []
     for name, sqltype in active.typed_columns.items():
-        lookups = [F.element_at(m, name)] + [
-            F.element_at(m, old)
+        lookups = [_lookup(name)] + [
+            _lookup(old)
             for old, new in active.renames.items() if new == name
         ]
         v = F.coalesce(*lookups) if len(lookups) > 1 else lookups[0]
-        typed.append(v.cast(sqltype).alias(name))
+        typed.append(v.cast(sqltype).alias(surfaced_name(name)))
     return df.select(*base, *typed)
 
 

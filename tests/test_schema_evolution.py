@@ -91,6 +91,77 @@ def test_column_appears_only_when_data_has_it(spark, tmp_path):
     check_against_oracle(spark, sink, changelog)
 
 
+def test_nested_struct_subfield_appears_midstream(spark, tmp_path):
+    """VERDICT r05 #6 (deep flatten, reference models.rs:384-423): the
+    payload carries a nested ``meta`` OBJECT whose ``depth`` subfield
+    only appears mid-stream.  Declared as dotted-path typed columns
+    (``meta.owner`` / ``meta.depth`` → surfaced ``meta_owner`` /
+    ``meta_depth``), the replayed table must match the seq-ordered
+    oracle fold on both, and the manifest schema must gain
+    ``meta_depth`` only once data carries it."""
+    from atlas_spark.plans.schema_evolution import SchemaRules
+    from atlas_spark.streaming.runner import prepare_batch
+
+    spec = ChangelogSpec(
+        n_events=2000, n_repos=15, paths_per_repo=30,
+        schema_evolution=True, nested_evolution=True, delete_frac=0.05,
+    )
+    changelog = generate_changelog(spec)
+    p_first = json.loads(changelog.iloc[0]["payload"])
+    p_last = json.loads(changelog.iloc[-1]["payload"])
+    assert "depth" not in p_first["meta"] and "owner" in p_first["meta"]
+    assert isinstance(p_last["meta"]["depth"], int)
+
+    rules = SchemaRules(
+        renames={"author": "committer"},
+        typed_columns={"lines": "bigint", "committer": "string",
+                       "meta.owner": "string", "meta.depth": "bigint"},
+    )
+    log_dir = str(tmp_path / "changelog")
+    write_changelog(changelog, log_dir, n_files=10)
+    root = str(tmp_path / "table")
+    sink = LakehouseSink(spark, root, n_buckets=8)
+    sink.ensure()
+
+    # epoch 0 alone: meta.owner present from the start, meta.depth not
+    runner = ReplayRunner(spark, sink, ControlTables(root), rules=rules,
+                          files_per_epoch=2)
+    epochs = runner.plan_epochs(log_dir)
+    sink.merge(prepare_batch(spark.read.parquet(*epochs[0]), rules), 0)
+    names0 = [n for n, _ in (tuple(x) for x in sink.manifest()["schema"])]
+    assert "meta_owner" in names0 and "meta_depth" not in names0
+
+    runner.run(log_dir)  # remaining epochs (0 is fenced)
+    names = dict(tuple(x) for x in sink.manifest()["schema"])
+    assert names.get("meta_depth") == "bigint"
+
+    expected = expected_state_pdf(changelog, payload_fields={
+        "meta_owner": lambda p: (p.get("meta") or {}).get("owner"),
+        "meta_depth": lambda p: (p.get("meta") or {}).get("depth"),
+    })
+    a = (
+        sink.read()
+        .select("repo", "path", "meta_owner", "meta_depth")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    e = expected[["repo", "path", "meta_owner", "meta_depth"]].reset_index(
+        drop=True)
+    a["meta_depth"] = a["meta_depth"].astype("Int64")
+    e["meta_depth"] = e["meta_depth"].astype("Int64")
+    pd.testing.assert_frame_equal(a, e, check_dtype=False)
+
+
+def test_dotted_path_collision_rejected():
+    import pytest
+
+    from atlas_spark.plans.schema_evolution import SchemaRules
+
+    with pytest.raises(ValueError, match="surface as column"):
+        SchemaRules(typed_columns={"a.b": "string", "a_b": "string"})
+
+
 def test_rename_chain_resolves_to_terminal_name(spark):
     """VERDICT r04 #7: lang→language in one epoch, language→tongue in a
     later one.  Rows from EVERY era of the chain must surface under the
