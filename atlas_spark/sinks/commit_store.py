@@ -77,6 +77,23 @@ class CommitStore(ABC):
         """Advance the hint, never regress it."""
 
 
+def resolve_head_version(store: CommitStore, name_of) -> int | None:
+    """Resolve the true head of the commit log from the advisory
+    pointer: read the hint, then probe FORWARD while the next named
+    object exists.  The exclusively-created objects ARE the log; the
+    pointer is a cache (Delta §3.2 ``_last_checkpoint``), so readers
+    converge on the same head even when the pointer is stale or has
+    REGRESSED (S3's pointer is a plain LWW PutObject — a laggard racer
+    can briefly move it backwards).  ``name_of(v)`` names version v.
+    Returns None when the store has no pointer (no committed table)."""
+    v = store.read_pointer()
+    if v is None:
+        return None
+    while store.exists(name_of(v + 1)):
+        v += 1
+    return v
+
+
 class LocalFSCommitStore(CommitStore):
     """POSIX implementation: ``os.link`` EEXIST is the put-if-absent,
     ``os.replace`` the pointer swap.  A crash at any point leaves

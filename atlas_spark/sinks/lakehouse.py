@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .base import Sink
-from .commit_store import CommitStore, LocalFSCommitStore
+from .commit_store import (
+    CommitStore,
+    LocalFSCommitStore,
+    resolve_head_version,
+)
 
 KEY_COLS = ["repo", "path"]
 
@@ -91,6 +95,80 @@ def _ddl(fields: list[tuple[str, str]]) -> T.StructType:
     )
 
 
+def _vacuum_sweep_subtree(subtree: str, table_root: str,
+                          referenced: set[str], min_age_seconds: float,
+                          now: float, sweep_root: bool,
+                          recurse: bool = True) -> tuple[int, int]:
+    """Remove unreferenced, old-enough data files under ``subtree`` and
+    fold away directories left holding only old commit sidecars.
+    Returns ``(removed, kept_young)``.
+
+    Module-level and stdlib-only so ``vacuum(listing="distributed")``
+    can ship it to executors (one task per epoch directory — the
+    per-prefix LIST+DELETE unit at object-store scale); the driver path
+    calls it once on ``data/`` with ``sweep_root=False`` so the data
+    root itself is never rmdir'd.
+    """
+
+    def _old_enough(ap: str) -> bool:
+        return now - os.path.getmtime(ap) >= min_age_seconds
+
+    removed = kept_young = 0
+    if recurse:
+        walk = os.walk(subtree, topdown=False)
+    else:
+        try:
+            walk = [(subtree, [], [
+                e for e in os.listdir(subtree)
+                if os.path.isfile(os.path.join(subtree, e))
+            ])]
+        except FileNotFoundError:
+            walk = []
+    for dirpath, _dirnames, filenames in walk:
+        for fn in filenames:
+            # `_`/`.`-prefixed files are commit-protocol sidecars
+            # (_SUCCESS, .crc), not data — Delta VACUUM's hidden-
+            # file convention; swept below with their directory
+            if fn.startswith(("_", ".")):
+                continue
+            ap = os.path.join(dirpath, fn)
+            if os.path.relpath(ap, table_root) in referenced:
+                continue
+            try:
+                if not _old_enough(ap):
+                    kept_young += 1
+                    continue
+                os.unlink(ap)
+                removed += 1
+            except FileNotFoundError:
+                pass
+        if dirpath == subtree and not sweep_root:
+            continue
+        # a directory whose data files are all gone: sweep the
+        # hidden sidecars (age-gated like data — a mid-commit dir
+        # can briefly hold only sidecars) and remove it
+        try:
+            entries = os.listdir(dirpath)
+        except FileNotFoundError:
+            continue
+        if all(
+            e.startswith(("_", "."))
+            and os.path.isfile(os.path.join(dirpath, e))
+            and _old_enough(os.path.join(dirpath, e))
+            for e in entries
+        ):
+            for e in entries:
+                try:
+                    os.unlink(os.path.join(dirpath, e))
+                except FileNotFoundError:
+                    pass
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass
+    return removed, kept_young
+
+
 def _parse_mem_bytes(mem: str) -> float | None:
     """Parse a Spark memory string into bytes.  Spark accepts '2g',
     '2gb', '512mb', '1.5g', … (JavaUtils.byteStringAs) — keep the
@@ -131,6 +209,7 @@ class LakehouseSink(Sink):
         mode: str = "cow",
         exact_duplicate_metrics: bool = False,
         commit_store: "CommitStore | None" = None,
+        emit_changes: bool = False,
     ):
         """``mode``:
 
@@ -156,6 +235,17 @@ class LakehouseSink(Sink):
         tables, ``cow`` for read-heavy/replay workloads.
         """
         assert mode in ("cow", "mor")
+        # first-class CDF (VERDICT r05 #7): each committed CoW merge
+        # also writes its change rows (see merge()); on MoR the write
+        # path deliberately never resolves pre-state (O(batch) merges),
+        # so the change feed there IS diff() — refuse the combination
+        # loudly instead of silently costing what MoR exists to avoid
+        if emit_changes and mode == "mor":
+            raise ValueError(
+                "emit_changes requires mode='cow' — a MoR merge never "
+                "reads existing state; use diff(from, to) for MoR CDF"
+            )
+        self.emit_changes = emit_changes
         self.exact_duplicate_metrics = exact_duplicate_metrics
         self.spark = spark
         self.root = root
@@ -248,13 +338,13 @@ class LakehouseSink(Sink):
         pointer is a cache (Delta paper §3.2: _last_checkpoint is the
         same kind of hint)."""
         if version is None:
-            version = self.commit_store.read_pointer()
+            version = resolve_head_version(
+                self.commit_store, self._manifest_name
+            )
             if version is None:
                 raise FileNotFoundError(
                     f"no committed table at {self.root} (run ensure())"
                 )
-            while self.commit_store.exists(self._manifest_name(version + 1)):
-                version += 1
         m = json.loads(self.commit_store.read(self._manifest_name(version)))
         # bucket count and merge mode are storage properties: a sink
         # object constructed differently must follow the manifest, or
@@ -698,6 +788,10 @@ class LakehouseSink(Sink):
 
         if n_batch == 0:
             res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
+            if self.emit_changes and not res.get("skipped"):
+                # empty feed file: consumers iterate committed epochs
+                # without special-casing the no-op ones
+                self._emit_epoch_changes({}, {}, fields, epoch_id, sess)
             res.update(
                 rows_in=0, upserts=0, duplicates_skipped=0,
                 bucket_watermarks={}, rows_per_bucket={},
@@ -812,6 +906,13 @@ class LakehouseSink(Sink):
         metrics = self._commit(m, new_files, wm, fields, epoch_id,
                                rows_in, n_deletes)
         phase_ms["commit"] = int((time.monotonic() - _t_phase) * 1000)
+        if self.emit_changes and not metrics.get("skipped"):
+            _t_phase = time.monotonic()
+            metrics["changes_path"] = self._emit_epoch_changes(
+                old_files, new_files, fields, epoch_id, sess
+            )
+            phase_ms["emit_changes"] = int(
+                (time.monotonic() - _t_phase) * 1000)
         metrics.update(
             merge_path="broadcast" if small else "bulk",
             rows_in=rows_in,
@@ -1097,12 +1198,27 @@ class LakehouseSink(Sink):
         Both snapshot reads are bucket-pruned scans; the join shuffles
         on the bucketing key, so co-location holds at scale.  Data
         files are immutable and every version's manifest is retained,
-        so any (from, to) pair of committed versions works."""
+        so any (from, to) pair of committed versions works.
+
+        With ``emit_changes=True`` every committed merge writes these
+        same rows up front (see :meth:`changes`) — this post-hoc diff
+        and the emitted feed share :meth:`_change_rows`, so they cannot
+        diverge."""
         old = self.read(include_tombstones=True, version=from_version)
         new = self.read(include_tombstones=True, version=to_version)
+        return self._change_rows(old, new)
+
+    @staticmethod
+    def _change_rows(old: DataFrame, new: DataFrame,
+                     include_pre: bool = False) -> DataFrame:
+        """Classify changes between two states of the same key space
+        (the single source of truth for both ``diff()`` and the merge's
+        emitted CDF).  ``include_pre`` adds the pre-image identity
+        columns ``_pre_content_sha256`` / ``_pre_seq``."""
         o = old.select(
             *KEY_COLS,
             F.col("content_sha256").alias("_o_sha"),
+            F.col("seq").alias("_o_seq"),
             (~F.col("is_deleted")).alias("_o_live"),
         )
         keep = [c for c in new.columns if c not in KEY_COLS]
@@ -1123,10 +1239,51 @@ class LakehouseSink(Sink):
             )
             .when(o_live & ~n_live, F.lit("D"))
         )
+        pre = (
+            [F.col("_o_sha").alias("_pre_content_sha256"),
+             F.col("_o_seq").alias("_pre_seq")]
+            if include_pre else []
+        )
         return (
             j.withColumn("_change", change)
             .filter(F.col("_change").isNotNull())
-            .select("_change", *KEY_COLS, "_n.*")
+            .select("_change", *KEY_COLS, *pre, "_n.*")
+        )
+
+    def _emit_epoch_changes(self, old_files: dict, new_files: dict,
+                            fields, epoch_id: int, sess) -> str:
+        """Write this merge's change rows (I/U/D + pre-image identity +
+        post image) to ``_changes/epoch=<id>/`` — the Delta CDF
+        "change data feed on write" analog.  Pre/post are pruned scans
+        of the IMMUTABLE old/new file sets of the touched buckets (the
+        election is not recomputed, and untouched buckets by
+        construction contribute no changes); cost is two bounded
+        scans + one key-co-located join, O(touched buckets) not
+        O(table).  Runs AFTER the commit succeeds: a crash in between
+        loses only the feed file, which ``diff(v-1, v)`` regenerates
+        exactly (shared classifier)."""
+        olds = [p for fl in old_files.values() for p in fl]
+        news = [p for fl in new_files.values() for p in fl]
+        schema = _ddl([tuple(x) for x in fields])
+        old = (self._read_files(olds, fields, spark=sess) if olds
+               else sess.createDataFrame([], schema))
+        new = (self._read_files(news, fields, spark=sess) if news
+               else sess.createDataFrame([], schema))
+        rel = f"_changes/epoch={epoch_id:06d}"
+        (
+            self._change_rows(old, new, include_pre=True)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, rel))
+        )
+        return rel
+
+    def changes(self, epoch_id: int) -> DataFrame:
+        """Read the change feed one committed merge emitted
+        (``emit_changes=True``): ``_change ∈ {I,U,D}``, key columns,
+        ``_pre_content_sha256``/``_pre_seq`` pre-image identity, and
+        the full post-image row."""
+        return self.spark.read.parquet(
+            os.path.join(self.root, f"_changes/epoch={epoch_id:06d}")
         )
 
     def watermarks(self) -> dict[str, int]:
@@ -1134,7 +1291,8 @@ class LakehouseSink(Sink):
 
     # ------------------------------------------------------------ vacuum
     def vacuum(self, retain_versions: int | None = None,
-               min_age_seconds: float = 3600.0) -> dict:
+               min_age_seconds: float = 3600.0,
+               listing: str = "auto") -> dict:
         """Garbage-collect files no retained manifest references
         (Delta VACUUM analog; ADVICE r04: OCC losers — a merge
         fence-skipped after a lost race, compact's conflict-dropped
@@ -1155,12 +1313,26 @@ class LakehouseSink(Sink):
           unreferenced file can never become referenced again and is
           safe to delete.
 
-        Scale note: enumeration is a driver-side walk here (one box,
-        one FS); at object-store scale the listing under ``data/``
-        would be distributed (``spark.read.format("binaryFile")`` or a
-        parallel LIST) with the same referenced-set semantics — the
-        referenced set itself is manifest-sized, not data-sized.
+        Scale (VERDICT r05 #2 — the last driver-side O(files) loop):
+        the *referenced* set is manifest-sized, but the *candidate* set
+        is every file under ``data/`` — at object-store scale LIST is
+        the cost.  ``listing`` picks the enumeration strategy:
+
+        * ``"driver"`` — single-process walk (tiny tables, no job
+          scheduling overhead).
+        * ``"distributed"`` — one Spark task per epoch directory; each
+          task LISTs, age-checks and DELETEs its own subtree (the
+          referenced set rides a broadcast), and the driver only sums
+          counts.  Per-prefix parallel LIST+DELETE is exactly the
+          object-store shape (S3 LIST is per-prefix; DeleteObjects is
+          batched per worker) — nothing O(files) touches the driver.
+        * ``"auto"`` (default) — distributed when there are more than
+          32 epoch directories, driver otherwise.
+
+        Both paths compute identical delete sets (pinned by
+        tests/test_vacuum.py).
         """
+        assert listing in ("auto", "driver", "distributed")
         store = self.commit_store
         versions = sorted(
             int(n.split(".")[1]) for n in store.list_names()
@@ -1180,55 +1352,44 @@ class LakehouseSink(Sink):
                 referenced.update(fl)
         now = time.time()
 
-        def _old_enough(ap: str) -> bool:
-            return now - os.path.getmtime(ap) >= min_age_seconds
-
         data_root = os.path.join(self.root, "data")
-        removed = kept_young = 0
-        for dirpath, _dirnames, filenames in os.walk(
-            data_root, topdown=False
-        ):
-            for fn in filenames:
-                # `_`/`.`-prefixed files are commit-protocol sidecars
-                # (_SUCCESS, .crc), not data — Delta VACUUM's hidden-
-                # file convention; swept below with their directory
-                if fn.startswith(("_", ".")):
-                    continue
-                ap = os.path.join(dirpath, fn)
-                if os.path.relpath(ap, self.root) in referenced:
-                    continue
-                try:
-                    if not _old_enough(ap):
-                        kept_young += 1
-                        continue
-                    os.unlink(ap)
-                    removed += 1
-                except FileNotFoundError:
-                    pass
-            if dirpath == data_root:
-                continue
-            # a directory whose data files are all gone: sweep the
-            # hidden sidecars (age-gated like data — a mid-commit dir
-            # can briefly hold only sidecars) and remove it
-            try:
-                entries = os.listdir(dirpath)
-            except FileNotFoundError:
-                continue
-            if all(
-                e.startswith(("_", "."))
-                and os.path.isfile(os.path.join(dirpath, e))
-                and _old_enough(os.path.join(dirpath, e))
-                for e in entries
-            ):
-                for e in entries:
-                    try:
-                        os.unlink(os.path.join(dirpath, e))
-                    except FileNotFoundError:
-                        pass
-                try:
-                    os.rmdir(dirpath)
-                except OSError:
-                    pass
+        epoch_dirs = sorted(
+            os.path.join(data_root, e) for e in os.listdir(data_root)
+            if os.path.isdir(os.path.join(data_root, e))
+        ) if os.path.isdir(data_root) else []
+        if listing == "auto":
+            listing = "distributed" if len(epoch_dirs) > 32 else "driver"
+
+        if listing == "driver":
+            removed, kept_young = _vacuum_sweep_subtree(
+                data_root, self.root, referenced, min_age_seconds, now,
+                sweep_root=False,
+            )
+        else:
+            root = self.root
+            refs_bc = self.spark.sparkContext.broadcast(referenced)
+            n_slices = min(
+                len(epoch_dirs),
+                self.spark.sparkContext.defaultParallelism,
+            ) or 1
+            counts = (
+                self.spark.sparkContext
+                .parallelize(epoch_dirs, n_slices)
+                .map(lambda d: _vacuum_sweep_subtree(
+                    d, root, refs_bc.value, min_age_seconds, now,
+                    sweep_root=True,
+                ))
+                .collect()
+            )
+            refs_bc.unpersist()
+            # loose files directly under data/ (none in normal
+            # operation) stay a driver concern — O(1) LIST depth
+            r0, k0 = _vacuum_sweep_subtree(
+                data_root, root, referenced, min_age_seconds, now,
+                sweep_root=False, recurse=False,
+            )
+            removed = sum(c[0] for c in counts) + r0
+            kept_young = sum(c[1] for c in counts) + k0
         for v in pruned:
             store.delete(self._manifest_name(v))
         return {
@@ -1236,4 +1397,5 @@ class LakehouseSink(Sink):
             "data_files_kept_young": kept_young,
             "manifests_pruned": len(pruned),
             "versions_retained": len(retained),
+            "listing": listing,
         }

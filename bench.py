@@ -248,6 +248,39 @@ def machine_controls(cpus: int, sf_dir: str) -> dict:
     }
 
 
+def _controls_vs_prev(controls: dict) -> dict | None:
+    """Ratio of this run's machine controls to the newest recorded
+    round's (``BENCH_r*.json`` beside this script) — VERDICT r05 task
+    #5: with control-vs-control deltas in the JSON, cross-round drift
+    adjudication is mechanical (ratio ≈ engine-relevant window shift;
+    a query moving WITH the ratio is the box, against it the engine)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    for path in reversed(rounds):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            # the driver wraps bench's JSON line under "parsed"
+            prev = (doc.get("parsed") or doc).get("controls")
+        except (OSError, json.JSONDecodeError, AttributeError):
+            continue
+        if not prev:
+            continue  # rounds before r05 carried no controls
+        out = {"prev": os.path.basename(path)}
+        for k, cur in controls.items():
+            p = prev.get(k)
+            if p:
+                out[f"{k}_ratio"] = round(cur / p, 3)
+        return out
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay-only", action="store_true")
@@ -321,6 +354,7 @@ def main() -> None:
         query_runs[name] = raw
 
     controls = machine_controls(cpus, sf_dir)
+    controls_vs_prev = _controls_vs_prev(controls)
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -331,6 +365,7 @@ def main() -> None:
                 "queries": queries,
                 "query_runs": query_runs,
                 "controls": controls,
+                "controls_vs_prev": controls_vs_prev,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "replay_events": replay["events"],
                 "replay_events_per_sec": replay["events_per_sec"],

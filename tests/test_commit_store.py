@@ -14,6 +14,7 @@ from atlas_spark.sinks.commit_store import (
     CommitStore,
     LocalFSCommitStore,
     S3ConditionalPutCommitStore,
+    resolve_head_version,
 )
 
 
@@ -43,6 +44,7 @@ class FakeS3Client:
         self.lock = threading.Lock()
         self.conflicts_remaining = 0
         self.conflict_commit: tuple[str, bytes] | None = None
+        self.list_calls = 0
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
         if isinstance(Body, str):
@@ -81,6 +83,7 @@ class FakeS3Client:
     def list_objects_v2(self, Bucket, Prefix="", ContinuationToken=None,
                         **kw):
         # one-key pages to exercise the store's continuation loop
+        self.list_calls += 1
         with self.lock:
             keys = sorted(k for k in self.objects if k.startswith(Prefix))
         start = int(ContinuationToken) if ContinuationToken else 0
@@ -152,6 +155,65 @@ def test_list_and_delete_exclude_internals(store):
     store.delete("manifest.1.json")
     store.delete("manifest.1.json")  # idempotent
     assert store.list_names() == ["manifest.2.json"]
+
+
+def _mname(v: int) -> str:
+    return f"manifest.{v:08d}.json"
+
+
+def test_list_names_paginates_many_objects(store):
+    """75 manifests cross many LIST pages (the S3 fake serves ONE key
+    per page — 75+ continuation rounds); list_names must drain the
+    continuation loop, not return the first page (VERDICT r05 #3)."""
+    for v in range(75):
+        assert store.put_if_absent(_mname(v), b"%d" % v)
+    store.advance_pointer(74)
+    names = store.list_names()
+    assert names == sorted(_mname(v) for v in range(75))
+    if isinstance(store, S3ConditionalPutCommitStore):
+        assert store.client.list_calls >= 75  # really paginated
+
+
+def test_pointer_concurrent_racers_and_forward_probe(store):
+    """N racers advance the pointer to shuffled versions concurrently.
+    The pointer is only BEST-EFFORT monotonic (S3's is a plain LWW
+    PutObject: read-before-write can interleave and land a laggard
+    last) — the contract readers rely on is weaker and pinned here:
+    whatever the pointer says, forward probing from it reaches the true
+    head (VERDICT r05 #3 pointer-regression convergence)."""
+    import random
+
+    head = 24
+    for v in range(head + 1):
+        assert store.put_if_absent(_mname(v), b"%d" % v)
+    versions = list(range(head + 1)) * 2
+    random.Random(7).shuffle(versions)
+    with cf.ThreadPoolExecutor(8) as ex:
+        list(ex.map(store.advance_pointer, versions))
+    p = store.read_pointer()
+    assert p is not None and 0 <= p <= head
+    assert resolve_head_version(store, _mname) == head
+
+
+def test_pointer_regression_converges_via_forward_probe(store):
+    """Force an actually-REGRESSED pointer (simulating the S3 LWW
+    laggard landing after a newer advance) and pin that readers still
+    converge on the head."""
+    for v in range(10):
+        assert store.put_if_absent(_mname(v), b"%d" % v)
+    store.advance_pointer(9)
+    # clobber the pointer backwards behind the store's back
+    if isinstance(store, S3ConditionalPutCommitStore):
+        store.client.put_object(Bucket=store.bucket,
+                                Key=store._key("CURRENT"), Body=b"3")
+    else:
+        with open(store._pointer, "w") as f:
+            f.write("3")
+    assert store.read_pointer() == 3  # genuinely regressed
+    assert resolve_head_version(store, _mname) == 9
+    # and advance-only still holds from the regressed value
+    store.advance_pointer(5)
+    assert store.read_pointer() == 5
 
 
 def test_s3_conflict_retries_then_wins(tmp_path):
