@@ -126,6 +126,56 @@ def ensure_changelog(n_events: int, n_files: int = 64) -> str:
     return out
 
 
+def _replay_once(spark, log_dir: str, n_buckets: int = 64,
+                 files_per_epoch: int = 32):
+    """One full replay into a throwaway table; returns (wall_s, summary)."""
+    from atlas_spark.plans.schema_evolution import DEFAULT_RULES
+    from atlas_spark.sinks import LakehouseSink
+    from atlas_spark.streaming import ReplayRunner
+
+    decl = list(DEFAULT_RULES.typed_columns.items())
+    root = tempfile.mkdtemp(prefix="atlas_bench_timed_")
+    try:
+        sink = LakehouseSink(spark, root, n_buckets=n_buckets)
+        sink.ensure(declared_columns=decl)
+        runner = ReplayRunner(spark, sink, files_per_epoch=files_per_epoch)
+        t0 = time.monotonic()
+        s = runner.run(log_dir)
+        return time.monotonic() - t0, s
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def replay_server(spark, log_dir: str) -> None:
+    """Interleaved-ladder worker (VERDICT r05 task #1): keep THIS
+    width's JVM alive, warm it to steady state once, then run exactly
+    one timed replay per ``run`` line on stdin, printing one JSON line
+    per run.  The orchestrator (tools/scaling_report.py --interleaved)
+    alternates ``run`` between a w1 server and a w4 server so each
+    efficiency pair is measured minutes apart inside one VM window —
+    per-width machine drift cancels by construction instead of by
+    post-hoc normalization."""
+    prev = None
+    for _ in range(3):  # adaptive untimed JIT warmup, capped
+        dt, _ = _replay_once(spark, log_dir)
+        if prev is not None and dt > prev * 0.85:
+            break
+        prev = dt
+    print("READY", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "run":
+            dt, s = _replay_once(spark, log_dir)
+            print(json.dumps({
+                "replay_sec": round(dt, 3),
+                "events": s.rows_in,
+                "events_per_sec": round(s.rows_in / dt, 1),
+                "epochs": s.epochs_applied,
+            }), flush=True)
+        else:  # quit / EOF
+            break
+
+
 def run_replay(spark, log_dir: str, n_buckets: int = 64,
                files_per_epoch: int = 32) -> dict:
     from atlas_spark.plans.schema_evolution import DEFAULT_RULES
@@ -284,6 +334,10 @@ def _controls_vs_prev(controls: dict) -> dict | None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--replay-server", action="store_true",
+                    help="interleaved-ladder worker: warm up, print "
+                         "READY, then one timed replay per 'run' stdin "
+                         "line (see tools/scaling_report.py)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--events", type=int, default=BENCH_EVENTS)
     args = ap.parse_args()
@@ -298,6 +352,12 @@ def main() -> None:
                       shuffle_partitions=cpus)
 
     log_dir = ensure_changelog(args.events)
+
+    if args.replay_server:
+        replay_server(spark, log_dir)
+        spark.stop()
+        return
+
     replay = run_replay(spark, log_dir)
 
     if args.replay_only:

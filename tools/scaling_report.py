@@ -76,11 +76,12 @@ def _burn(_):
     return x
 
 
-def _cpu_thr(width: int) -> float:
+def _cpu_thr(width: int, reps: int = 3) -> float:
     # best of 3: the control must measure the machine's ceiling, not
     # whatever transient neighbor-load window one run landed in
+    # (interleaved mode passes reps=1 — its pairs carry the evidence)
     best = 0.0
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.monotonic()
         with mp.Pool(width) as p:
             p.map(_burn, range(width * 4))
@@ -96,9 +97,9 @@ def _scan_one(path: str) -> int:
     return int(pc.sum(t["seq"]).as_py() or 0)
 
 
-def _scan_thr(width: int, files: list[str]) -> float:
+def _scan_thr(width: int, files: list[str], reps: int = 3) -> float:
     best = 0.0
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.monotonic()
         with mp.Pool(width) as p:
             p.map(_scan_one, files)
@@ -106,7 +107,137 @@ def _scan_thr(width: int, files: list[str]) -> float:
     return best
 
 
+def _spawn_server(width: int, events: int) -> subprocess.Popen:
+    env = dict(os.environ)
+    env.setdefault("ATLAS_SPARK_DRIVER_MEM", "32g")
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--replay-server",
+         "--cpus", str(width), "--events", str(events)],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, bufsize=1, cwd=REPO, env=env,
+    )
+    for line in p.stdout:
+        if line.startswith("READY"):
+            return p
+    raise RuntimeError(f"width-{width} replay server died during warmup")
+
+
+def _server_run(p: subprocess.Popen) -> dict:
+    p.stdin.write("run\n")
+    p.stdin.flush()
+    for line in p.stdout:
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError("replay server died mid-run")
+
+
+def interleaved_main(events: int, n_pairs: int = 6,
+                     widths: tuple[int, int] = (1, 4)) -> None:
+    """Interleaved-width ladder (VERDICT r05 task #1): the sequential
+    protocol measured each width in its own multi-minute window, so a
+    ±20% VM bandwidth drift between the w1 window and the w4 window
+    moved the efficiency by the same ±20% — roll r05-3's 0.76 with
+    clean controls was unadjudicable.  Here ONE warm JVM per width
+    stays alive and timed runs alternate w1,w4,w1,w4,… so each pair's
+    two runs land minutes apart inside the same window; per-width drift
+    divides out of eff_i = (thr4_i / thr1_i)/4 by construction.
+    Reports per-pair efficiency, median and spread, each pair beside
+    its own same-minute machine controls."""
+    w1, w4 = widths
+    sys.path.insert(0, REPO)
+    from bench import ensure_changelog
+
+    log_dir = ensure_changelog(events)
+    files = sorted(
+        os.path.join(log_dir, f) for f in os.listdir(log_dir)
+        if f.endswith(".parquet")
+    )[:16]
+    _scan_thr(8, files)  # warm page cache once, untimed
+
+    # serial warmups (concurrent warmups would contend; timed runs
+    # below are strictly serialized — the other JVM sits idle)
+    a = _spawn_server(w1, events)
+    b = _spawn_server(w4, events)
+    pairs = []
+    try:
+        for i in range(n_pairs):
+            # lightweight same-minute controls bracketing this pair
+            c_cpu = (_cpu_thr(w4, reps=1) / _cpu_thr(w1, reps=1)) / (w4 / w1)
+            c_scan = (_scan_thr(w4, files, reps=1)
+                      / _scan_thr(w1, files, reps=1)) / (w4 / w1)
+            r1 = _server_run(a)
+            r4 = _server_run(b)
+            eff = (r4["events_per_sec"] / r1["events_per_sec"]) / (w4 / w1)
+            pairs.append({
+                "pair": i + 1,
+                "w1_events_per_sec": r1["events_per_sec"],
+                "w4_events_per_sec": r4["events_per_sec"],
+                "w1_sec": r1["replay_sec"], "w4_sec": r4["replay_sec"],
+                "eff": round(eff, 3),
+                "ctl_cpu": round(c_cpu, 3), "ctl_scan": round(c_scan, 3),
+            })
+            print(json.dumps(pairs[-1]), flush=True)
+    finally:
+        for p in (a, b):
+            try:
+                p.stdin.write("quit\n")
+                p.stdin.flush()
+            except OSError:
+                pass
+            p.wait(timeout=120)
+
+    effs = sorted(x["eff"] for x in pairs)
+    n = len(effs)
+    median = (effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2)
+    spread = effs[-1] - effs[0]
+    met = median >= 0.8
+    rows = "\n".join(
+        f"| {x['pair']} | {x['w1_events_per_sec']:,.0f} | "
+        f"{x['w4_events_per_sec']:,.0f} | **{x['eff']:.2f}** | "
+        f"{x['ctl_cpu']:.2f} | {x['ctl_scan']:.2f} |"
+        for x in pairs
+    )
+    section = f"""
+
+## Interleaved-width ladder ({w1}→{w4}, one window — VERDICT r05 #1)
+
+Protocol: one warm JVM per width, timed runs alternating
+w{w1},w{w4},w{w1},w{w4},… ({n_pairs} pairs, {events:,} events each run), so both
+runs of every efficiency pair land minutes apart inside the same VM
+window and per-width bandwidth drift cancels by construction — the
+sequential protocol's unadjudicable cross-window drift (r05-3's 0.76
+with clean controls) is gone.  Controls are measured same-minute per
+pair (1 rep — they bracket, the pair ratio carries the evidence).
+
+| pair | w{w1} ev/s | w{w4} ev/s | eff | CPU ctl | SCAN ctl |
+|---|---|---|---|---|---|
+{rows}
+
+**Per-pair efficiency: median {median:.2f}, spread {spread:.2f}
+(min {effs[0]:.2f}, max {effs[-1]:.2f}) → north-rule ≥ 0.8
+{"MET" if met else "NOT MET"} on the interleaved protocol.**
+The r04/r05 sequential six-roll history spanned 0.76–0.84 (spread
+0.08) and needed per-roll adjudication; this ladder's spread is the
+protocol's own noise floor, measured inside one window.
+
+Raw JSON:
+```json
+{os.linesep.join(json.dumps(x) for x in pairs)}
+```
+"""
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(out_path, "a") as f:
+        f.write(section)
+    print(section)
+
+
 def main() -> None:
+    if "--interleaved" in sys.argv:
+        sys.argv.remove("--interleaved")
+        events = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
+        n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+        interleaved_main(events, n_pairs)
+        return
     events = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
     sys.path.insert(0, REPO)
     from bench import ensure_changelog
