@@ -146,7 +146,7 @@ def _replay_once(spark, log_dir: str, n_buckets: int = 64,
         shutil.rmtree(root, ignore_errors=True)
 
 
-def replay_server(spark, log_dir: str) -> None:
+def replay_server(spark, log_dir: str, files_per_epoch: int = 32) -> None:
     """Interleaved-ladder worker (VERDICT r05 task #1): keep THIS
     width's JVM alive, warm it to steady state once, then run exactly
     one timed replay per ``run`` line on stdin, printing one JSON line
@@ -157,7 +157,7 @@ def replay_server(spark, log_dir: str) -> None:
     post-hoc normalization."""
     prev = None
     for _ in range(3):  # adaptive untimed JIT warmup, capped
-        dt, _ = _replay_once(spark, log_dir)
+        dt, _ = _replay_once(spark, log_dir, files_per_epoch=files_per_epoch)
         if prev is not None and dt > prev * 0.85:
             break
         prev = dt
@@ -165,7 +165,15 @@ def replay_server(spark, log_dir: str) -> None:
     for line in sys.stdin:
         cmd = line.strip()
         if cmd == "run":
-            dt, s = _replay_once(spark, log_dir)
+            # Force a full GC between timed runs: Spark's ContextCleaner
+            # frees broadcast/shuffle state only when driver GC collects
+            # the weak refs, and a 32g heap GCs rarely — without this
+            # the JVM creeps to its heap cap over ~8 replays and late
+            # runs measure GC churn, not the engine (observed: w4 runs
+            # degrading 41→85 s across one ladder while w1 held steady)
+            spark.sparkContext._jvm.System.gc()
+            dt, s = _replay_once(spark, log_dir,
+                                 files_per_epoch=files_per_epoch)
             print(json.dumps({
                 "replay_sec": round(dt, 3),
                 "events": s.rows_in,
@@ -340,6 +348,10 @@ def main() -> None:
                          "line (see tools/scaling_report.py)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--events", type=int, default=BENCH_EVENTS)
+    ap.add_argument("--files-per-epoch", type=int, default=32,
+                    help="epoch granularity for --replay-only/--replay-"
+                         "server: 64 files / N = epochs per replay (the "
+                         "many-epoch amortization shape, VERDICT r05 #4)")
     args = ap.parse_args()
 
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -354,11 +366,13 @@ def main() -> None:
     log_dir = ensure_changelog(args.events)
 
     if args.replay_server:
-        replay_server(spark, log_dir)
+        replay_server(spark, log_dir,
+                      files_per_epoch=args.files_per_epoch)
         spark.stop()
         return
 
-    replay = run_replay(spark, log_dir)
+    replay = run_replay(spark, log_dir,
+                        files_per_epoch=args.files_per_epoch)
 
     if args.replay_only:
         print(json.dumps({"cpus": cpus, **replay}))

@@ -58,13 +58,14 @@ def _floor(width: int, files: list[str], fn) -> float:
     return round(best, 3)
 
 
-def profile(width: int, events: int) -> dict:
+def profile(width: int, events: int, files_per_epoch: int = 32) -> dict:
     env = dict(os.environ)
     env.setdefault("ATLAS_SPARK_DRIVER_MEM", "32g")
     env["ATLAS_DEBUG_EPOCHS"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
-         "--replay-only", "--cpus", str(width), "--events", str(events)],
+         "--replay-only", "--cpus", str(width), "--events", str(events),
+         "--files-per-epoch", str(files_per_epoch)],
         capture_output=True, text=True, check=True, cwd=REPO, env=env,
     )
     epochs = [
@@ -91,12 +92,14 @@ def profile(width: int, events: int) -> dict:
     agg["gap_ms"] = agg["duration_ms"] - sum(
         v for k, v in agg.items() if k not in ("duration_ms", "gap_ms")
     )
-    return {"width": width, "bench": bench, "phase_ms_best_run": agg}
+    return {"width": width, "files_per_epoch": files_per_epoch,
+            "bench": bench, "phase_ms_best_run": agg}
 
 
 def main() -> None:
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     events = int(sys.argv[2]) if len(sys.argv) > 2 else 64_000_000
+    files_per_epoch = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     sys.path.insert(0, REPO)
     from bench import ensure_changelog
 
@@ -105,7 +108,7 @@ def main() -> None:
         os.path.join(log_dir, f) for f in os.listdir(log_dir)
         if f.endswith(".parquet")
     )
-    res = profile(width, events)
+    res = profile(width, events, files_per_epoch)
     res["scan_narrow_sec"] = _floor(width, files, _scan_narrow)
     res["scan_full_sec"] = _floor(width, files, _scan_full)
     print(json.dumps(res))

@@ -141,8 +141,15 @@ def interleaved_main(events: int, n_pairs: int = 6,
     stays alive and timed runs alternate w1,w4,w1,w4,… so each pair's
     two runs land minutes apart inside the same window; per-width drift
     divides out of eff_i = (thr4_i / thr1_i)/4 by construction.
-    Reports per-pair efficiency, median and spread, each pair beside
-    its own same-minute machine controls."""
+    Reports per-pair efficiency, median and spread, with full 3-rep
+    machine controls measured immediately BEFORE and AFTER the pair
+    sequence (bracketing the window).  Per-pair controls were tried
+    and dropped: a 1-rep scan control is dominated by page-cache order
+    effects (whichever width scans first pays the post-replay cold
+    cache for both), and burning 3-rep controls between every pair
+    would push the pair's two runs apart — the exact thing this
+    protocol exists to avoid.  The pairs carry the engine evidence;
+    the bracketing controls characterize the window."""
     w1, w4 = widths
     sys.path.insert(0, REPO)
     from bench import ensure_changelog
@@ -152,7 +159,16 @@ def interleaved_main(events: int, n_pairs: int = 6,
         os.path.join(log_dir, f) for f in os.listdir(log_dir)
         if f.endswith(".parquet")
     )[:16]
-    _scan_thr(8, files)  # warm page cache once, untimed
+
+    def _controls() -> dict:
+        _scan_thr(8, files, reps=1)  # cache warm, untimed
+        return {
+            "ctl_cpu": round(
+                (_cpu_thr(w4) / _cpu_thr(w1)) / (w4 / w1), 3),
+            "ctl_scan": round(
+                (_scan_thr(w4, files) / _scan_thr(w1, files)) / (w4 / w1),
+                3),
+        }
 
     # serial warmups (concurrent warmups would contend; timed runs
     # below are strictly serialized — the other JVM sits idle)
@@ -160,23 +176,33 @@ def interleaved_main(events: int, n_pairs: int = 6,
     b = _spawn_server(w4, events)
     pairs = []
     try:
+        ctl_before = _controls()
+        print(json.dumps({"controls_before": ctl_before}), flush=True)
         for i in range(n_pairs):
-            # lightweight same-minute controls bracketing this pair
-            c_cpu = (_cpu_thr(w4, reps=1) / _cpu_thr(w1, reps=1)) / (w4 / w1)
-            c_scan = (_scan_thr(w4, files, reps=1)
-                      / _scan_thr(w1, files, reps=1)) / (w4 / w1)
-            r1 = _server_run(a)
-            r4 = _server_run(b)
+            # best-of-2 per width INSIDE the pair (w1,w4,w1,w4): single
+            # runs on this VM carry ±30-50% tail noise (GC/writeback
+            # landing in the window — see the recorded machine truths),
+            # which would dominate a single-run pair; best-of-2 keeps
+            # the four runs adjacent while suppressing the tail
+            r1s, r4s = [], []
+            for _ in range(2):
+                r1s.append(_server_run(a))
+                r4s.append(_server_run(b))
+            r1 = max(r1s, key=lambda r: r["events_per_sec"])
+            r4 = max(r4s, key=lambda r: r["events_per_sec"])
             eff = (r4["events_per_sec"] / r1["events_per_sec"]) / (w4 / w1)
             pairs.append({
                 "pair": i + 1,
                 "w1_events_per_sec": r1["events_per_sec"],
                 "w4_events_per_sec": r4["events_per_sec"],
                 "w1_sec": r1["replay_sec"], "w4_sec": r4["replay_sec"],
+                "w1_sec_runs": [r["replay_sec"] for r in r1s],
+                "w4_sec_runs": [r["replay_sec"] for r in r4s],
                 "eff": round(eff, 3),
-                "ctl_cpu": round(c_cpu, 3), "ctl_scan": round(c_scan, 3),
             })
             print(json.dumps(pairs[-1]), flush=True)
+        ctl_after = _controls()
+        print(json.dumps({"controls_after": ctl_after}), flush=True)
     finally:
         for p in (a, b):
             try:
@@ -193,8 +219,8 @@ def interleaved_main(events: int, n_pairs: int = 6,
     met = median >= 0.8
     rows = "\n".join(
         f"| {x['pair']} | {x['w1_events_per_sec']:,.0f} | "
-        f"{x['w4_events_per_sec']:,.0f} | **{x['eff']:.2f}** | "
-        f"{x['ctl_cpu']:.2f} | {x['ctl_scan']:.2f} |"
+        f"{x['w4_events_per_sec']:,.0f} | {x['w1_sec']:.1f} | "
+        f"{x['w4_sec']:.1f} | **{x['eff']:.2f}** |"
         for x in pairs
     )
     section = f"""
@@ -202,16 +228,22 @@ def interleaved_main(events: int, n_pairs: int = 6,
 ## Interleaved-width ladder ({w1}→{w4}, one window — VERDICT r05 #1)
 
 Protocol: one warm JVM per width, timed runs alternating
-w{w1},w{w4},w{w1},w{w4},… ({n_pairs} pairs, {events:,} events each run), so both
-runs of every efficiency pair land minutes apart inside the same VM
-window and per-width bandwidth drift cancels by construction — the
-sequential protocol's unadjudicable cross-window drift (r05-3's 0.76
-with clean controls) is gone.  Controls are measured same-minute per
-pair (1 rep — they bracket, the pair ratio carries the evidence).
+w{w1},w{w4},w{w1},w{w4} within each pair (best-of-2 per width —
+single runs carry this VM's ±30-50% tail noise; {n_pairs} pairs,
+{events:,} events per run), so every efficiency pair's runs land
+minutes apart inside the same VM window and per-width bandwidth drift
+cancels by construction — the sequential protocol's unadjudicable
+cross-window drift (r05-3's 0.76 with clean controls) is gone.  Full
+3-rep machine controls bracket the sequence (before/after); the pairs
+carry the engine evidence.
 
-| pair | w{w1} ev/s | w{w4} ev/s | eff | CPU ctl | SCAN ctl |
+| pair | w{w1} ev/s | w{w4} ev/s | w{w1} s | w{w4} s | eff |
 |---|---|---|---|---|---|
 {rows}
+
+Controls (N→4N ratio/4, 3-rep best, cache-warmed):
+before = CPU {ctl_before['ctl_cpu']:.2f} / SCAN {ctl_before['ctl_scan']:.2f};
+after = CPU {ctl_after['ctl_cpu']:.2f} / SCAN {ctl_after['ctl_scan']:.2f}.
 
 **Per-pair efficiency: median {median:.2f}, spread {spread:.2f}
 (min {effs[0]:.2f}, max {effs[-1]:.2f}) → north-rule ≥ 0.8
@@ -222,6 +254,7 @@ protocol's own noise floor, measured inside one window.
 
 Raw JSON:
 ```json
+{json.dumps({"controls_before": ctl_before, "controls_after": ctl_after})}
 {os.linesep.join(json.dumps(x) for x in pairs)}
 ```
 """
