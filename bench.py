@@ -231,6 +231,13 @@ def run_replay(spark, log_dir: str, n_buckets: int = 64,
         raw = []
         best = None
         for _ in range(5):
+            # Same inter-run GC as replay_server: ContextCleaner frees
+            # broadcast/shuffle state only on driver GC, and a 32g
+            # fixed heap left alone creeps toward its cap across the
+            # warmup+timed runs sharing this JVM — late runs then
+            # measure collector churn (the r05 run set spanned
+            # 9.2-21.5 s inside one best-of-5 window)
+            spark.sparkContext._jvm.System.gc()
             root_i = tempfile.mkdtemp(prefix="atlas_bench_timed_")
             try:
                 sink = LakehouseSink(spark, root_i, n_buckets=n_buckets)
