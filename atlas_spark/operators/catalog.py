@@ -559,6 +559,62 @@ def q_state_diff(spark, sf_dir):
     )
 
 
+def q_cdf_emit(spark, sf_dir):
+    """First-class CDF emit (VERDICT r05 #7) under the driver's hash
+    gate: run the ACTUAL ``emit_changes=True`` merge path — two epochs
+    of a changelog derived deterministically from the events table —
+    and return the second epoch's emitted change feed, read back from
+    the ``_changes/epoch=000001`` parquet the commit wrote.
+
+    The emitted feed and ``diff(v-1, v)`` share one classifier
+    (``LakehouseSink._change_rows``, equal row-for-row by
+    ``test_emitted_cdf_matches_diff_on_multiepoch_replay``), so the
+    oracle expresses the snapshot diff in SQL: LWW fold at the epoch
+    boundary (seq < 5000) vs the final fold, joined on the key, I/U/D
+    by liveness + content-sha change — byte-identical re-upserts are
+    NOT changes, tombstones null the payload and its sha, pre-image
+    identity (``_pre_content_sha256``/``_pre_seq``) comes from the
+    prior fold.  Every epoch-2 seq exceeds every epoch-1 seq, so the
+    final fold over all events equals the fenced two-epoch replay
+    state.  ``localCheckpoint`` detaches the result from the temp
+    table dir before cleanup."""
+    import shutil
+    import tempfile
+
+    from ..sinks import LakehouseSink
+
+    ev = _events(spark, sf_dir)
+    cl = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
+                 .cast("string")).alias("repo"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        .alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="atlas_q_cdf_")
+    try:
+        sink = LakehouseSink(spark, root, n_buckets=8, emit_changes=True)
+        sink.ensure()
+        sink.merge(cl.filter(F.col("seq") < 5000), 0)
+        sink.merge(cl.filter(F.col("seq") >= 5000), 1)
+        return (
+            sink.changes(1)
+            .select(
+                "_change", "repo", "path",
+                "_pre_content_sha256", "_pre_seq",
+                "seq", "commit", "lang", "content", "content_sha256",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_daily_counts(spark, sf_dir):
     """§2.6 date functions: per-day event counts (time_committed
     bucketing analog — watermark cadence reporting)."""
@@ -767,6 +823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_cdc_fold": q_cdc_fold,
     "q_state_diff": q_state_diff,
+    "q_cdf_emit": q_cdf_emit,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
     "q_format_key": q_format_key,
@@ -975,6 +1032,52 @@ ORACLES: dict[str, str] = {
                CASE WHEN change != 'D' THEN ne END AS last_event_id,
                CASE WHEN change != 'D' THEN nt END AS last_type
         FROM c WHERE change IS NOT NULL
+    """,
+    "q_cdf_emit": """
+        WITH cl AS (
+          SELECT event_id AS seq,
+                 (event_type = 'error') AS del,
+                 'r' || CAST(user_id % 8 AS VARCHAR) AS repo,
+                 'u' || CAST(user_id AS VARCHAR) AS path,
+                 'c' || CAST(event_id AS VARCHAR) AS cmt,
+                 event_type AS lang,
+                 props AS content
+          FROM events),
+        o AS (SELECT repo, path, seq, del,
+                     CASE WHEN del THEN NULL
+                          ELSE sha256(content) END AS sha
+              FROM (SELECT cl.*, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY seq DESC) rn
+                    FROM cl WHERE seq < 5000) WHERE rn = 1),
+        n AS (SELECT repo, path, seq, del,
+                     CASE WHEN del THEN NULL ELSE cmt END AS cmt,
+                     CASE WHEN del THEN NULL ELSE lang END AS lang,
+                     CASE WHEN del THEN NULL ELSE content END AS content,
+                     CASE WHEN del THEN NULL
+                          ELSE sha256(content) END AS sha
+              FROM (SELECT cl.*, row_number() OVER (
+                        PARTITION BY repo, path ORDER BY seq DESC) rn
+                    FROM cl) WHERE rn = 1),
+        j AS (SELECT n.repo, n.path,
+                     o.sha AS pre_sha, o.seq AS pre_seq,
+                     (o.repo IS NOT NULL AND NOT o.del) AS ol,
+                     (NOT n.del) AS nl,
+                     o.sha AS osha, n.sha AS nsha,
+                     n.seq, n.cmt, n.lang, n.content
+              FROM n LEFT JOIN o
+                ON n.repo = o.repo AND n.path = o.path),
+        c AS (SELECT *,
+                     CASE WHEN NOT ol AND nl THEN 'I'
+                          WHEN ol AND nl
+                               AND (osha IS DISTINCT FROM nsha) THEN 'U'
+                          WHEN ol AND NOT nl THEN 'D' END AS chg
+              FROM j)
+        SELECT chg AS _change, repo, path,
+               pre_sha AS _pre_content_sha256,
+               pre_seq AS _pre_seq,
+               seq, cmt AS "commit", lang, content,
+               nsha AS content_sha256
+        FROM c WHERE chg IS NOT NULL
     """,
     "q_cdc_fold": """
         SELECT user_id, event_id AS last_event_id,
