@@ -615,6 +615,49 @@ def q_cdf_emit(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_nested_evolution(spark, sf_dir):
+    """Nested-payload schema evolution (VERDICT r05 #6) under the
+    driver's hash gate: dotted-path typed columns over a nested JSON
+    payload — a subfield appearing MID-STREAM (absent → null) and a
+    nested RENAME (``meta.d0`` → ``meta.depth``, surfaced via the
+    coalesce lookup ``project()`` builds).  The payload is synthesized
+    deterministically from the events table with integer-only leaves
+    (so the oracle reconstructs expected values with plain arithmetic,
+    no cross-engine float formatting); the Spark side runs the REAL
+    engine path — one ``from_json`` map decode, nested leaves read as
+    JSON text via ``get_json_object`` over the map entry
+    (``plans/schema_evolution.py``).  Rows < 2500 carry the old name
+    ``meta.d0``, rows in [2500, 5000) carry no ``meta`` at all, rows
+    ≥ 5000 carry ``meta.depth`` — add, absence, and rename in one
+    stream."""
+    from ..plans.schema_evolution import SchemaRules
+
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k")
+    depth = (F.col("event_id") % 7).cast("string")
+    payload = (
+        F.when(
+            F.col("event_id") < 2500,
+            F.concat(F.lit('{"k": '), k,
+                     F.lit(', "meta": {"d0": '), depth, F.lit("}}")),
+        )
+        .when(
+            F.col("event_id") >= 5000,
+            F.concat(F.lit('{"k": '), k,
+                     F.lit(', "meta": {"depth": '), depth, F.lit("}}")),
+        )
+        .otherwise(F.concat(F.lit('{"k": '), k, F.lit("}")))
+    )
+    rules = SchemaRules(
+        renames={"meta.d0": "meta.depth"},
+        typed_columns={"k": "bigint", "meta.depth": "bigint"},
+    )
+    df = ev.withColumn(
+        "_payload_map", F.from_json(payload, "map<string,string>")
+    )
+    return rules.project(df).select("event_id", "k", "meta_depth")
+
+
 def q_daily_counts(spark, sf_dir):
     """§2.6 date functions: per-day event counts (time_committed
     bucketing analog — watermark cadence reporting)."""
@@ -824,6 +867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_fold": q_cdc_fold,
     "q_state_diff": q_state_diff,
     "q_cdf_emit": q_cdf_emit,
+    "q_nested_evolution": q_nested_evolution,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
     "q_format_key": q_format_key,
@@ -1078,6 +1122,13 @@ ORACLES: dict[str, str] = {
                seq, cmt AS "commit", lang, content,
                nsha AS content_sha256
         FROM c WHERE chg IS NOT NULL
+    """,
+    "q_nested_evolution": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               CAST(CASE WHEN event_id < 2500 OR event_id >= 5000
+                         THEN event_id % 7 END AS BIGINT) AS meta_depth
+        FROM events
     """,
     "q_cdc_fold": """
         SELECT user_id, event_id AS last_event_id,
