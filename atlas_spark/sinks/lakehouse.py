@@ -788,10 +788,12 @@ class LakehouseSink(Sink):
 
         if n_batch == 0:
             res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
+            res.pop("parent_files", None)
+            cm_fields = res.pop("committed_schema", fields)
             if self.emit_changes and not res.get("skipped"):
                 # empty feed file: consumers iterate committed epochs
                 # without special-casing the no-op ones
-                self._emit_epoch_changes({}, {}, fields, epoch_id, sess)
+                self._emit_epoch_changes({}, {}, cm_fields, epoch_id, sess)
             res.update(
                 rows_in=0, upserts=0, duplicates_skipped=0,
                 bucket_watermarks={}, rows_per_bucket={},
@@ -906,10 +908,18 @@ class LakehouseSink(Sink):
         metrics = self._commit(m, new_files, wm, fields, epoch_id,
                                rows_in, n_deletes)
         phase_ms["commit"] = int((time.monotonic() - _t_phase) * 1000)
+        # pre-state for the feed comes from _commit, NOT the merge-start
+        # old_files: after an OCC rebase (a concurrent committer landed
+        # first) the committed version's parent differs from the
+        # merge-start snapshot, and the feed must equal diff(v-1, v)
+        # against the ACTUAL parent (ADVICE r06, pinned by
+        # test_emitted_cdf_matches_diff_under_occ_rebase)
+        parent_files = metrics.pop("parent_files", old_files)
+        cm_fields = metrics.pop("committed_schema", fields)
         if self.emit_changes and not metrics.get("skipped"):
             _t_phase = time.monotonic()
             metrics["changes_path"] = self._emit_epoch_changes(
-                old_files, new_files, fields, epoch_id, sess
+                parent_files, new_files, cm_fields, epoch_id, sess
             )
             phase_ms["emit_changes"] = int(
                 (time.monotonic() - _t_phase) * 1000)
@@ -990,6 +1000,12 @@ class LakehouseSink(Sink):
           and the epoch reports skipped, exactly-once preserved."""
         replace = self.mode == "cow" if replace_files is None else replace_files
         while True:
+            # pre-state of the touched buckets AS OF the manifest this
+            # commit actually lands on (ADVICE r06: after an OCC rebase
+            # the merge-start snapshot is NOT the committed version's
+            # parent — a change feed diffed against it would diverge
+            # from diff(v-1, v)); returned to the caller for emit
+            parent_files = {b: list(m["files"].get(b, [])) for b in wm}
             files = dict(m["files"])
             if replace:
                 files.update(new_files)
@@ -1017,6 +1033,11 @@ class LakehouseSink(Sink):
                     "rows": rows_in,
                     "deletes": deletes,
                     "version": m2["version"],
+                    # internal (merge pops them before returning
+                    # metrics): the committed version's true parent
+                    # state + schema, for the emitted change feed
+                    "parent_files": parent_files,
+                    "committed_schema": fields,
                 }
             m = self.manifest()  # rebase on the race winner
             if epoch_id <= m["committed_epoch_max"]:
@@ -1153,6 +1174,11 @@ class LakehouseSink(Sink):
             m2 = dict(cur)
             m2["version"] = cur["version"] + 1
             m2["files"] = files
+            # layout-only commit: epoch_id is inherited from the last
+            # merge, so mark it — change-feed backfill must never
+            # regenerate an epoch's feed from a compaction version's
+            # (empty) diff (see backfill_changes)
+            m2["compaction"] = True
             if self._try_publish(m2):
                 return {"version": m2["version"], "buckets": installed}
             cur = self.manifest()  # rebase on the race winner
@@ -1259,9 +1285,13 @@ class LakehouseSink(Sink):
         election is not recomputed, and untouched buckets by
         construction contribute no changes); cost is two bounded
         scans + one key-co-located join, O(touched buckets) not
-        O(table).  Runs AFTER the commit succeeds: a crash in between
-        loses only the feed file, which ``diff(v-1, v)`` regenerates
-        exactly (shared classifier)."""
+        O(table).  ``old_files`` is the COMMITTED version's parent
+        state as returned by ``_commit`` — after an OCC rebase the
+        merge-start snapshot is not the parent, and the feed must
+        equal ``diff(v-1, v)`` (ADVICE r06).  Runs AFTER the commit
+        succeeds: a crash in between loses only the feed file, which
+        ``changes()``/``backfill_changes()`` regenerate exactly
+        (shared classifier)."""
         olds = [p for fl in old_files.values() for p in fl]
         news = [p for fl in new_files.values() for p in fl]
         schema = _ddl([tuple(x) for x in fields])
@@ -1281,10 +1311,82 @@ class LakehouseSink(Sink):
         """Read the change feed one committed merge emitted
         (``emit_changes=True``): ``_change ∈ {I,U,D}``, key columns,
         ``_pre_content_sha256``/``_pre_seq`` pre-image identity, and
-        the full post-image row."""
-        return self.spark.read.parquet(
-            os.path.join(self.root, f"_changes/epoch={epoch_id:06d}")
+        the full post-image row.
+
+        The emit runs AFTER the commit (a half-written feed must never
+        be observable for a version that failed to commit), so a crash
+        in that window loses only the feed file.  If the feed dir is
+        missing or incomplete (no ``_SUCCESS``), this regenerates it
+        durably from the version-pair snapshots — same classifier, same
+        rows (VERDICT r06 #3; reference analog: checkpoint-after-write
+        ordering, /root/reference/src/core/export/batch.rs:337-353)."""
+        rel = f"_changes/epoch={epoch_id:06d}"
+        if not os.path.exists(os.path.join(self.root, rel, "_SUCCESS")):
+            v = self._version_of_epoch(epoch_id)
+            if v is None:
+                raise FileNotFoundError(
+                    f"no committed merge for epoch {epoch_id} — "
+                    "nothing to read or regenerate"
+                )
+            self._regenerate_epoch_changes(v, epoch_id)
+        return self.spark.read.parquet(os.path.join(self.root, rel))
+
+    def _committed_versions(self) -> list[int]:
+        return sorted(
+            int(n.split(".")[1]) for n in self.commit_store.list_names()
+            if n.startswith("manifest.")
         )
+
+    def _version_of_epoch(self, epoch_id: int) -> int | None:
+        """The MERGE version that committed ``epoch_id`` (compaction
+        versions inherit the epoch_id of the last merge and are
+        skipped — their diff is empty by construction)."""
+        for v in self._committed_versions():
+            mv = self.manifest(v)
+            if mv.get("epoch_id") == epoch_id and not mv.get("compaction"):
+                return v
+        return None
+
+    def _regenerate_epoch_changes(self, version: int, epoch_id: int) -> str:
+        """Recompute one committed merge's change feed from its
+        version-pair snapshots and write it durably.  Full-version
+        reads instead of touched-bucket reads: untouched buckets hold
+        identical file sets in both manifests, contribute no I/U/D
+        rows, and the classifier (:meth:`_change_rows`) is shared with
+        the emit path — row-for-row the same feed."""
+        rel = f"_changes/epoch={epoch_id:06d}"
+        old = self.read(include_tombstones=True, version=version - 1)
+        new = self.read(include_tombstones=True, version=version)
+        (
+            self._change_rows(old, new, include_pre=True)
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.root, rel))
+        )
+        return rel
+
+    def backfill_changes(self) -> list[int]:
+        """Repair the change feed after a crash in the commit→emit
+        window: for every committed MERGE version whose
+        ``_changes/epoch=*`` dir is missing or lacks ``_SUCCESS``
+        (a kill mid-feed-write), regenerate the feed from the version
+        pair.  Idempotent; returns the repaired epoch ids.  The replay
+        runner calls this on resume when ``emit_changes`` is set, so a
+        resumed replay always leaves a gap-free feed."""
+        repaired: list[int] = []
+        for v in self._committed_versions():
+            if v == 0:
+                continue
+            mv = self.manifest(v)
+            ep = mv.get("epoch_id", -1)
+            if ep is None or ep < 0 or mv.get("compaction"):
+                continue
+            ok = os.path.join(
+                self.root, f"_changes/epoch={ep:06d}", "_SUCCESS"
+            )
+            if not os.path.exists(ok):
+                self._regenerate_epoch_changes(v, ep)
+                repaired.append(ep)
+        return repaired
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.manifest()["watermarks"])
@@ -1292,7 +1394,8 @@ class LakehouseSink(Sink):
     # ------------------------------------------------------------ vacuum
     def vacuum(self, retain_versions: int | None = None,
                min_age_seconds: float = 3600.0,
-               listing: str = "auto") -> dict:
+               listing: str = "auto",
+               retain_changes: int | None = None) -> dict:
         """Garbage-collect files no retained manifest references
         (Delta VACUUM analog; ADVICE r04: OCC losers — a merge
         fence-skipped after a lost race, compact's conflict-dropped
@@ -1303,6 +1406,13 @@ class LakehouseSink(Sink):
           versions (time travel + ``diff()`` to pruned versions is
           given up); None keeps every version and removes only data
           files referenced by NO version at all (pure orphans).
+        * ``retain_changes``: keep only the newest N emitted
+          change-feed epoch dirs (``emit_changes`` feeds under
+          ``_changes/`` otherwise grow without bound — ADVICE r06);
+          age-gated like data files.  None keeps every feed.  Note a
+          feed older than the oldest retained manifest can no longer
+          be regenerated once dropped — the feed itself was the
+          durable copy.
         * ``min_age_seconds``: never delete a file younger than this.
           This is the concurrency guard (same as Delta's retention
           check): a concurrent committer writes data files BEFORE its
@@ -1392,10 +1502,37 @@ class LakehouseSink(Sink):
             kept_young = sum(c[1] for c in counts) + k0
         for v in pruned:
             store.delete(self._manifest_name(v))
+
+        changes_pruned = 0
+        changes_root = os.path.join(self.root, "_changes")
+        if retain_changes is not None and os.path.isdir(changes_root):
+            assert retain_changes >= 0
+            import shutil
+
+            eps = sorted(
+                e for e in os.listdir(changes_root)
+                if e.startswith("epoch=")
+                and os.path.isdir(os.path.join(changes_root, e))
+            )
+            drop = eps[:len(eps) - retain_changes] if retain_changes else eps
+            for e in drop:
+                d = os.path.join(changes_root, e)
+                newest = max(
+                    (os.path.getmtime(os.path.join(d, f))
+                     for f in os.listdir(d)),
+                    default=0.0,
+                )
+                # same in-flight guard as data files: a feed being
+                # written right now must survive
+                if now - newest < min_age_seconds:
+                    continue
+                shutil.rmtree(d, ignore_errors=True)
+                changes_pruned += 1
         return {
             "data_files_removed": removed,
             "data_files_kept_young": kept_young,
             "manifests_pruned": len(pruned),
             "versions_retained": len(retained),
+            "changes_pruned": changes_pruned,
             "listing": listing,
         }

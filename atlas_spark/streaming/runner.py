@@ -529,6 +529,17 @@ class ReplayRunner:
         last = self.sink.last_committed_epoch()
         epochs = self.plan_epochs(changelog_dir)
         self._check_epoch_plan(epochs, last)
+        # the change-feed emit runs post-commit, so a kill in that
+        # window loses the feed file for an otherwise-committed epoch —
+        # resume repairs the gap before applying anything new
+        # (VERDICT r06 #3; idempotent and O(committed versions))
+        if (
+            not self.dry_run
+            and getattr(self.sink, "emit_changes", False)
+            and hasattr(self.sink, "backfill_changes")
+            and last >= 0
+        ):
+            self.sink.backfill_changes()
         if not self.dry_run and (
             self.recorded_fingerprint() is None or self.accept_new_fingerprint
         ):
@@ -624,6 +635,13 @@ class ReplayRunner:
             self.control.mark_interrupted_epochs()
             if hasattr(self.sink, "manifest"):
                 self.control.backfill_from_manifest(self.sink.manifest())
+        if (
+            getattr(self.sink, "emit_changes", False)
+            and hasattr(self.sink, "backfill_changes")
+            and self.sink.last_committed_epoch() >= 0
+        ):
+            # same commit→emit crash-window repair as run() (VERDICT r06 #3)
+            self.sink.backfill_changes()
         stream = (
             self.spark.readStream.schema(CHANGELOG_DDL)
             .option("maxFilesPerTrigger", max_files_per_trigger)

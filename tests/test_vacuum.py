@@ -109,6 +109,7 @@ def test_vacuum_noop_on_clean_table(spark, tmp_path):
         "data_files_kept_young": 0,
         "manifests_pruned": 0,
         "versions_retained": 2,  # ensure()'s v0 + the merge's v1
+        "changes_pruned": 0,
         "listing": "driver",  # auto picks driver at this size
     }
 
