@@ -24,9 +24,11 @@ Implementations:
 
 from __future__ import annotations
 
+import io
 import os
 import uuid
 from abc import ABC, abstractmethod
+from datetime import datetime, timezone
 
 
 class CommitStore(ABC):
@@ -308,3 +310,251 @@ class S3ConditionalPutCommitStore(CommitStore):
             Bucket=self.bucket, Key=self._key("CURRENT"),
             Body=str(version).encode(),
         )
+
+
+class S3DataPlane:
+    """Data-file LIST/DELETE surface for ``vacuum(listing="store")`` —
+    the object-store twin of the executor-side ``os.walk`` sweep
+    (VERDICT r06 #2).  Together with :class:`S3ConditionalPutCommitStore`
+    this is the complete storage contract a cluster deployment
+    implements: the commit store owns the manifest log, this owns the
+    data prefix.
+
+    * ``list_dirs(rel)`` → immediate child "directories" (ListObjectsV2
+      ``Delimiter="/"`` CommonPrefixes, paginated) — the per-epoch-dir
+      sweep units.
+    * ``list_files(rel)`` → every object under the prefix as
+      ``(table-root-relative path, last-modified epoch seconds)``
+      (paginated full LIST; ``shallow=True`` lists direct children
+      only, for loose files at the data root).
+    * ``delete_files(rels)`` → batched ``DeleteObjects`` (1000/request,
+      the S3 limit; idempotent on already-gone keys).
+
+    ``client_factory`` must be a PICKLABLE zero-arg callable returning
+    a boto3-s3-shaped client (e.g. ``functools.partial(boto3.client,
+    "s3")``) — the sink ships this object to executors, one sweep task
+    per epoch prefix, and each task builds its own client (boto3
+    clients don't pickle).  Pass a live ``client`` instead for
+    driver-side use; the sink then sweeps prefixes in a driver loop.
+    """
+
+    def __init__(self, bucket: str, table_prefix: str = "",
+                 client=None, client_factory=None):
+        assert client is not None or client_factory is not None, (
+            "S3DataPlane needs a client or a picklable client_factory"
+        )
+        self.bucket = bucket
+        self.table_prefix = table_prefix.strip("/")
+        self.client_factory = client_factory
+        self._client = client
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_client"] = None  # clients don't pickle; rebuilt per task
+        return d
+
+    def _c(self):
+        if self._client is None:
+            self._client = self.client_factory()
+        return self._client
+
+    def _key(self, rel: str) -> str:
+        return f"{self.table_prefix}/{rel}" if self.table_prefix else rel
+
+    def _rel(self, key: str) -> str:
+        return key[len(self.table_prefix) + 1:] if self.table_prefix else key
+
+    def _pages(self, **kw):
+        token = None
+        while True:
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._c().list_objects_v2(Bucket=self.bucket, **kw)
+            yield resp
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def list_dirs(self, rel_prefix: str) -> list[str]:
+        pfx = self._key(rel_prefix)
+        out = []
+        for page in self._pages(Prefix=pfx, Delimiter="/"):
+            out += [
+                self._rel(cp["Prefix"]).rstrip("/")
+                for cp in page.get("CommonPrefixes", [])
+            ]
+        return sorted(out)
+
+    def list_files(self, rel_prefix: str,
+                   shallow: bool = False) -> list[tuple[str, float]]:
+        pfx = self._key(rel_prefix)
+        kw = {"Prefix": pfx}
+        if shallow:
+            kw["Delimiter"] = "/"
+        out = []
+        for page in self._pages(**kw):
+            out += [
+                (self._rel(o["Key"]), o["LastModified"].timestamp())
+                for o in page.get("Contents", [])
+            ]
+        return sorted(out)
+
+    def delete_files(self, rel_paths: list[str]) -> int:
+        keys = [self._key(r) for r in rel_paths]
+        for i in range(0, len(keys), 1000):
+            self._c().delete_objects(
+                Bucket=self.bucket,
+                Delete={"Objects": [{"Key": k}
+                                    for k in keys[i:i + 1000]]},
+            )
+        return len(keys)
+
+
+class _DirClientError(Exception):
+    """botocore ClientError shape (the stores only inspect ``.response``)."""
+
+    def __init__(self, code: str, status: int):
+        super().__init__(code)
+        self.response = {
+            "Error": {"Code": code},
+            "ResponseMetadata": {"HTTPStatusCode": status},
+        }
+
+
+class DirS3Client:
+    """boto3-s3-shaped client over a local directory — keys are paths
+    under ``root``, conditional PUT is emulated with the same atomic
+    ``os.link`` primitive the LocalFS store uses.  Two jobs:
+
+    * run the ENTIRE S3 surface (commit store + data plane) against
+      local disk in tests and on a mounted object store (s3fs/goofys)
+      without network;
+    * stay PICKLABLE (state = the root path string), so
+      ``functools.partial(DirS3Client, root)`` is a valid
+      ``client_factory`` and the executor-side sweep path of
+      ``vacuum(listing="store")`` is exercised for real in-sandbox.
+
+    ``page_size`` caps ListObjectsV2 pages (S3's MaxKeys analog) so
+    pagination is exercised at small scale.
+    """
+
+    def __init__(self, root: str, page_size: int = 1000):
+        self.root = root
+        self.page_size = page_size
+        self.list_calls = 0  # pagination-really-happened probe (tests)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        if isinstance(Body, str):
+            Body = Body.encode()
+        p = self._path(Key)
+        os.makedirs(os.path.dirname(p) or self.root, exist_ok=True)
+        tmp = os.path.join(
+            os.path.dirname(p), f".tmp.{uuid.uuid4().hex}"
+        )
+        with open(tmp, "wb") as f:
+            f.write(bytes(Body))
+            f.flush()
+            os.fsync(f.fileno())
+        if IfNoneMatch == "*":
+            try:
+                os.link(tmp, p)
+            except FileExistsError:
+                raise _DirClientError("PreconditionFailed", 412) from None
+            finally:
+                os.unlink(tmp)
+        else:
+            os.replace(tmp, p)
+        return {}
+
+    def get_object(self, Bucket, Key, **kw):
+        try:
+            with open(self._path(Key), "rb") as f:
+                return {"Body": io.BytesIO(f.read())}
+        except (FileNotFoundError, IsADirectoryError):
+            raise _DirClientError("NoSuchKey", 404) from None
+
+    def head_object(self, Bucket, Key, **kw):
+        if not os.path.isfile(self._path(Key)):
+            raise _DirClientError("404", 404)
+        return {}
+
+    def _all_keys(self) -> list[str]:
+        out = []
+        for dirpath, _d, files in os.walk(self.root):
+            for f in files:
+                if f.startswith(".tmp."):
+                    continue
+                out.append(os.path.relpath(
+                    os.path.join(dirpath, f), self.root
+                ).replace(os.sep, "/"))
+        return sorted(out)
+
+    def list_objects_v2(self, Bucket, Prefix="", Delimiter=None,
+                        ContinuationToken=None, MaxKeys=None, **kw):
+        self.list_calls += 1
+        keys = [k for k in self._all_keys() if k.startswith(Prefix)]
+        contents, prefixes, seen = [], [], set()
+        for k in keys:
+            rest = k[len(Prefix):]
+            if Delimiter and Delimiter in rest:
+                cp = Prefix + rest.split(Delimiter, 1)[0] + Delimiter
+                if cp not in seen:
+                    seen.add(cp)
+                    prefixes.append(cp)
+                continue
+            contents.append(k)
+        # paginate over the merged, ordered (key|prefix) stream like S3
+        merged = sorted(
+            [("k", k) for k in contents] + [("p", p) for p in prefixes],
+            key=lambda t: t[1],
+        )
+        start = int(ContinuationToken) if ContinuationToken else 0
+        page_n = min(MaxKeys or self.page_size, self.page_size)
+        page = merged[start:start + page_n]
+        resp = {
+            "Contents": [
+                {
+                    "Key": k,
+                    "Size": os.path.getsize(self._path(k)),
+                    "LastModified": datetime.fromtimestamp(
+                        os.path.getmtime(self._path(k)), tz=timezone.utc
+                    ),
+                }
+                for t, k in page if t == "k"
+            ],
+            "CommonPrefixes": [
+                {"Prefix": p} for t, p in page if t == "p"
+            ],
+            "IsTruncated": start + page_n < len(merged),
+        }
+        if resp["IsTruncated"]:
+            resp["NextContinuationToken"] = str(start + page_n)
+        return resp
+
+    def _prune_empty_dirs(self, p: str) -> None:
+        d = os.path.dirname(p)
+        while d and os.path.abspath(d) != os.path.abspath(self.root):
+            try:
+                os.rmdir(d)
+            except OSError:
+                return
+            d = os.path.dirname(d)
+
+    def delete_object(self, Bucket, Key, **kw):
+        p = self._path(Key)
+        try:
+            os.unlink(p)
+            self._prune_empty_dirs(p)
+        except FileNotFoundError:
+            pass  # S3 delete is idempotent
+        return {}
+
+    def delete_objects(self, Bucket, Delete, **kw):
+        deleted = []
+        for o in Delete["Objects"]:
+            self.delete_object(Bucket, o["Key"])
+            deleted.append({"Key": o["Key"]})
+        return {"Deleted": deleted}

@@ -169,6 +169,84 @@ def _vacuum_sweep_subtree(subtree: str, table_root: str,
     return removed, kept_young
 
 
+def _plan_object_sweep(entries: list, subtree_rel: str,
+                       referenced: set[str], min_age_seconds: float,
+                       now: float, sweep_root: bool,
+                       fold: bool = True) -> tuple[list[str], int, int]:
+    """Pure object-listing twin of :func:`_vacuum_sweep_subtree`: plan
+    the IDENTICAL delete set over a ListObjectsV2-shaped enumeration
+    (``(table-root-relative path, mtime)`` pairs) instead of a
+    filesystem walk — ``vacuum(listing="store")``'s planner, pinned
+    byte-identical by tests/test_vacuum.py.  Object stores have no
+    directories: "folding" an emptied directory means deleting its
+    now-orphaned commit sidecars (``_SUCCESS``, ``.crc``); the rmdir
+    itself has no object analog.  Returns ``(paths to delete,
+    data files removed, data files kept young)`` — sidecar deletions
+    are uncounted, matching the FS sweep."""
+
+    def _old(mt: float) -> bool:
+        return now - mt >= min_age_seconds
+
+    base = subtree_rel.rstrip("/")
+    deletes: list[str] = []
+    removed = kept_young = 0
+    # dir → surviving entries as (rel, mtime, is_sidecar)
+    surviving: dict[str, list] = {}
+    dirs: set[str] = {base}
+    for rel, mt in entries:
+        d = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        name = rel.rsplit("/", 1)[-1]
+        dd = d
+        while dd and dd != base and dd not in dirs:
+            dirs.add(dd)
+            dd = dd.rsplit("/", 1)[0] if "/" in dd else ""
+        if name.startswith(("_", ".")):
+            surviving.setdefault(d, []).append((rel, mt, True))
+        elif rel in referenced:
+            surviving.setdefault(d, []).append((rel, mt, False))
+        elif not _old(mt):
+            kept_young += 1
+            surviving.setdefault(d, []).append((rel, mt, False))
+        else:
+            deletes.append(rel)
+            removed += 1
+    if not fold:
+        return deletes, removed, kept_young
+    children: dict[str, set] = {}
+    for d in dirs:
+        if d == base:
+            continue
+        parent = d.rsplit("/", 1)[0] if "/" in d else ""
+        children.setdefault(parent, set()).add(d)
+    folded: set[str] = set()
+    # deepest-first, like os.walk(topdown=False)
+    for d in sorted(dirs, key=lambda p: p.count("/"), reverse=True):
+        if d == base and not sweep_root:
+            continue
+        if any(c not in folded for c in children.get(d, ())):
+            continue  # an unswept subdir blocks folding, as on FS
+        left = surviving.get(d, [])
+        if all(s for (_r, _mt, s) in left) and all(
+            _old(mt) for (_r, mt, _s) in left
+        ):
+            deletes.extend(r for (r, _mt, _s) in left)
+            folded.add(d)
+    return deletes, removed, kept_young
+
+
+def _store_sweep_prefix(dp, prefix: str, referenced: set[str],
+                        min_age_seconds: float, now: float):
+    """One per-epoch-prefix LIST+DELETE unit of
+    ``vacuum(listing="store")`` — module-level so it pickles to
+    executors (the data plane re-creates its client per task)."""
+    dels, removed, kept = _plan_object_sweep(
+        dp.list_files(prefix + "/"), prefix, referenced,
+        min_age_seconds, now, sweep_root=True,
+    )
+    dp.delete_files(dels)
+    return removed, kept
+
+
 def _parse_mem_bytes(mem: str) -> float | None:
     """Parse a Spark memory string into bytes.  Spark accepts '2g',
     '2gb', '512mb', '1.5g', … (JavaUtils.byteStringAs) — keep the
@@ -210,6 +288,7 @@ class LakehouseSink(Sink):
         exact_duplicate_metrics: bool = False,
         commit_store: "CommitStore | None" = None,
         emit_changes: bool = False,
+        data_plane=None,
     ):
         """``mode``:
 
@@ -283,6 +362,10 @@ class LakehouseSink(Sink):
         self.commit_store = commit_store or LocalFSCommitStore(
             self._manifest_dir
         )
+        # optional object-store data plane (commit_store.S3DataPlane):
+        # vacuum(listing="store") routes its candidate LIST + DELETE
+        # through it instead of walking a filesystem (VERDICT r06 #2)
+        self.data_plane = data_plane
         # plan-audit hook: set to a dict and merge() records the
         # explain strings of its two jobs (election, fetch+write) so
         # tests/tools can pin the physical shape without re-deriving
@@ -1436,13 +1519,20 @@ class LakehouseSink(Sink):
           counts.  Per-prefix parallel LIST+DELETE is exactly the
           object-store shape (S3 LIST is per-prefix; DeleteObjects is
           batched per worker) — nothing O(files) touches the driver.
+        * ``"store"`` — route LIST + DELETE through the sink's
+          ``data_plane`` (an :class:`~.commit_store.S3DataPlane`): one
+          paginated ``ListObjectsV2`` + batched ``DeleteObjects`` sweep
+          per epoch prefix — the true object-store shape, no filesystem
+          assumed (VERDICT r06 #2).  Runs the per-prefix sweeps as
+          Spark tasks when the plane carries a picklable
+          ``client_factory``, else as a driver loop.
         * ``"auto"`` (default) — distributed when there are more than
           32 epoch directories, driver otherwise.
 
-        Both paths compute identical delete sets (pinned by
+        All paths compute identical delete sets (pinned by
         tests/test_vacuum.py).
         """
-        assert listing in ("auto", "driver", "distributed")
+        assert listing in ("auto", "driver", "distributed", "store")
         store = self.commit_store
         versions = sorted(
             int(n.split(".")[1]) for n in store.list_names()
@@ -1470,7 +1560,15 @@ class LakehouseSink(Sink):
         if listing == "auto":
             listing = "distributed" if len(epoch_dirs) > 32 else "driver"
 
-        if listing == "driver":
+        if listing == "store":
+            assert self.data_plane is not None, (
+                "listing='store' needs a data_plane "
+                "(commit_store.S3DataPlane) on the sink"
+            )
+            removed, kept_young = self._vacuum_via_store(
+                referenced, min_age_seconds, now
+            )
+        elif listing == "driver":
             removed, kept_young = _vacuum_sweep_subtree(
                 data_root, self.root, referenced, min_age_seconds, now,
                 sweep_root=False,
@@ -1536,3 +1634,51 @@ class LakehouseSink(Sink):
             "changes_pruned": changes_pruned,
             "listing": listing,
         }
+
+    def _vacuum_via_store(self, referenced: set[str],
+                          min_age_seconds: float,
+                          now: float) -> tuple[int, int]:
+        """``listing="store"``: enumerate epoch prefixes through the
+        data plane, then LIST+DELETE each as its own sweep unit — on
+        Spark executors when the plane carries a picklable
+        ``client_factory`` (each task builds its own client), else in
+        a driver loop (a live injected client can't ship)."""
+        dp = self.data_plane
+        prefixes = dp.list_dirs("data/")
+        if (
+            dp.client_factory is not None
+            and self.spark is not None
+            and prefixes
+        ):
+            refs_bc = self.spark.sparkContext.broadcast(referenced)
+            n_slices = min(
+                len(prefixes),
+                self.spark.sparkContext.defaultParallelism,
+            ) or 1
+            counts = (
+                self.spark.sparkContext
+                .parallelize(prefixes, n_slices)
+                .map(lambda p: _store_sweep_prefix(
+                    dp, p, refs_bc.value, min_age_seconds, now,
+                ))
+                .collect()
+            )
+            refs_bc.unpersist()
+        else:
+            counts = [
+                _store_sweep_prefix(
+                    dp, p, referenced, min_age_seconds, now,
+                )
+                for p in prefixes
+            ]
+        # loose objects directly under data/ (none in normal
+        # operation) — one shallow LIST, no folding, like the FS paths
+        dels, r0, k0 = _plan_object_sweep(
+            dp.list_files("data/", shallow=True), "data", referenced,
+            min_age_seconds, now, sweep_root=False, fold=False,
+        )
+        dp.delete_files(dels)
+        return (
+            sum(c[0] for c in counts) + r0,
+            sum(c[1] for c in counts) + k0,
+        )

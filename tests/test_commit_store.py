@@ -12,6 +12,7 @@ import pytest
 
 from atlas_spark.sinks.commit_store import (
     CommitStore,
+    DirS3Client,
     LocalFSCommitStore,
     S3ConditionalPutCommitStore,
     resolve_head_version,
@@ -103,13 +104,22 @@ class FakeS3Client:
         return {}
 
 
-@pytest.fixture(params=["localfs", "s3"])
+@pytest.fixture(params=["localfs", "s3", "dirs3"])
 def store(request, tmp_path) -> CommitStore:
     if request.param == "localfs":
         s = LocalFSCommitStore(str(tmp_path / "log"))
-    else:
+    elif request.param == "s3":
         s = S3ConditionalPutCommitStore(
             "bucket", "tables/t/_manifest", client=FakeS3Client()
+        )
+    else:
+        # the dir-backed client: same S3 store class, conditional PUT
+        # emulated with the atomic os.link primitive — the whole
+        # contract suite runs against it too (page_size=1 forces the
+        # continuation loop through every LIST)
+        s = S3ConditionalPutCommitStore(
+            "bucket", "tables/t/_manifest",
+            client=DirS3Client(str(tmp_path / "obj"), page_size=1),
         )
     s.ensure()
     return s
@@ -243,6 +253,79 @@ def test_s3_persistent_conflict_surfaces(tmp_path):
     client.conflicts_remaining = 999
     with pytest.raises(TimeoutError):
         s.put_if_absent("manifest.9.json", b"mine")
+
+
+class RecordingClient:
+    """Wraps a boto3-shaped client, recording ``(method, key,
+    conditional)`` per call — pins the EXACT S3 request sequence a
+    real deployment issues per commit (VERDICT r06 #8: the cluster
+    bring-up checklist when pointing the store at real S3/GCS/ABFS)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.calls = []
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None, **kw):
+        self.calls.append(("put_object", Key, IfNoneMatch))
+        return self.inner.put_object(
+            Bucket=Bucket, Key=Key, Body=Body, IfNoneMatch=IfNoneMatch, **kw
+        )
+
+    def get_object(self, Bucket, Key, **kw):
+        self.calls.append(("get_object", Key, None))
+        return self.inner.get_object(Bucket=Bucket, Key=Key, **kw)
+
+    def head_object(self, Bucket, Key, **kw):
+        self.calls.append(("head_object", Key, None))
+        return self.inner.head_object(Bucket=Bucket, Key=Key, **kw)
+
+    def list_objects_v2(self, **kw):
+        self.calls.append(("list_objects_v2", kw.get("Prefix"), None))
+        return self.inner.list_objects_v2(**kw)
+
+    def delete_object(self, Bucket, Key, **kw):
+        self.calls.append(("delete_object", Key, None))
+        return self.inner.delete_object(Bucket=Bucket, Key=Key, **kw)
+
+
+def test_boto3_call_sequence_per_commit():
+    """The documented per-commit request shapes, asserted exactly:
+
+    * clean commit  = conditional PUT(manifest) →
+                      GET(CURRENT, read-before-write) →
+                      unconditional PUT(CURRENT);
+    * lost race     = ONE conditional PUT (412), nothing else;
+    * stale advance = GET(CURRENT) only (monotonic guard, no write);
+    * 409 in-flight = conditional PUT → HEAD probe → conditional PUT.
+    """
+    rec = RecordingClient(FakeS3Client())
+    s = S3ConditionalPutCommitStore("b", "t/_manifest", client=rec)
+    pfx = "t/_manifest/"
+
+    assert s.put_if_absent(_mname(1), b"m1")
+    s.advance_pointer(1)
+    assert rec.calls == [
+        ("put_object", pfx + _mname(1), "*"),
+        ("get_object", pfx + "CURRENT", None),
+        ("put_object", pfx + "CURRENT", None),
+    ]
+
+    rec.calls.clear()
+    assert not s.put_if_absent(_mname(1), b"other")
+    assert rec.calls == [("put_object", pfx + _mname(1), "*")]
+
+    rec.calls.clear()
+    s.advance_pointer(0)  # laggard: must read, must NOT write
+    assert rec.calls == [("get_object", pfx + "CURRENT", None)]
+
+    rec.inner.conflicts_remaining = 1
+    rec.calls.clear()
+    assert s.put_if_absent(_mname(2), b"m2")
+    assert rec.calls == [
+        ("put_object", pfx + _mname(2), "*"),
+        ("head_object", pfx + _mname(2), None),
+        ("put_object", pfx + _mname(2), "*"),
+    ]
 
 
 def test_s3_store_default_client_wiring():

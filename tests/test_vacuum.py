@@ -124,24 +124,16 @@ def _all_files(root):
     return sorted(out)
 
 
-def test_vacuum_distributed_listing_matches_driver(spark, tmp_path):
-    """VERDICT r05 #2: the distributed candidate enumeration (one Spark
-    task per epoch dir; LIST + DELETE on executors, broadcast
-    referenced set) must compute the IDENTICAL delete set as the
-    driver-side walk — proven by vacuuming two byte-identical clones of
-    a many-epoch table, one per path, and diffing every surviving
-    file."""
-    import shutil
-
+def _build_gc_table(spark, tmp_path):
+    """A many-epoch table with orphans: superseding rewrites plus two
+    stray in-flight dirs (one old/reclaimable, one young/protected)."""
     sink = _mk(spark, tmp_path)
-    # many epochs (one data dir each) + superseding rewrites → orphans
     for e in range(6):
         sink.merge(
             _df(spark, [[e + 1, "U", "r", "a", f"c{e}", "py", f"v{e}"],
                         [e + 100, "U", "r", f"p{e}", f"d{e}", "py", "w"]]),
             e,
         )
-    # stray in-flight dirs: one old (reclaimable), one young (protected)
     for name, age in [("e999990-aaaaaaaa", 9999), ("e999991-bbbbbbbb", 0)]:
         d = os.path.join(sink.root, "data", name)
         os.makedirs(d)
@@ -150,11 +142,26 @@ def test_vacuum_distributed_listing_matches_driver(spark, tmp_path):
             f.write(b"uncommitted")
         t = os.path.getmtime(p) - age
         os.utime(p, (t, t))
+    return sink
 
-    a_root = str(tmp_path / "clone_a")
-    b_root = str(tmp_path / "clone_b")
-    shutil.copytree(sink.root, a_root)
-    shutil.copytree(sink.root, b_root)
+
+def _clone(sink, dst):
+    import shutil
+
+    shutil.copytree(sink.root, dst)
+    return dst
+
+
+def test_vacuum_distributed_listing_matches_driver(spark, tmp_path):
+    """VERDICT r05 #2: the distributed candidate enumeration (one Spark
+    task per epoch dir; LIST + DELETE on executors, broadcast
+    referenced set) must compute the IDENTICAL delete set as the
+    driver-side walk — proven by vacuuming two byte-identical clones of
+    a many-epoch table, one per path, and diffing every surviving
+    file."""
+    sink = _build_gc_table(spark, tmp_path)
+    a_root = _clone(sink, str(tmp_path / "clone_a"))
+    b_root = _clone(sink, str(tmp_path / "clone_b"))
     a = LakehouseSink(spark, a_root, n_buckets=sink.n_buckets)
     b = LakehouseSink(spark, b_root, n_buckets=sink.n_buckets)
     ra = a.vacuum(retain_versions=3, min_age_seconds=600, listing="driver")
@@ -167,3 +174,40 @@ def test_vacuum_distributed_listing_matches_driver(spark, tmp_path):
     assert ra["data_files_kept_young"] >= 1  # the young stray survived
     assert _all_files(a_root) == _all_files(b_root)
     assert _state(a) == _state(b) == _state(sink)
+
+
+def test_vacuum_store_listing_matches_driver(spark, tmp_path):
+    """VERDICT r06 #2: ``listing="store"`` routes candidate enumeration
+    and deletion through the object-store data plane (paginated
+    ListObjectsV2 + batched DeleteObjects, one sweep per epoch prefix,
+    run as Spark tasks via the picklable client factory) — and must
+    compute the IDENTICAL delete set as the driver walk, proven on
+    byte-identical clones."""
+    import functools
+
+    from atlas_spark.sinks.commit_store import DirS3Client, S3DataPlane
+
+    sink = _build_gc_table(spark, tmp_path)
+    a_root = _clone(sink, str(tmp_path / "clone_a"))
+    c_root = _clone(sink, str(tmp_path / "clone_c"))
+    a = LakehouseSink(spark, a_root, n_buckets=sink.n_buckets)
+    # page_size=3 forces real LIST pagination at this table size
+    plane = S3DataPlane(
+        "bucket", "",
+        client_factory=functools.partial(DirS3Client, c_root, 3),
+    )
+    c = LakehouseSink(spark, c_root, n_buckets=sink.n_buckets,
+                      data_plane=plane)
+    ra = a.vacuum(retain_versions=3, min_age_seconds=600, listing="driver")
+    rc = c.vacuum(retain_versions=3, min_age_seconds=600, listing="store")
+    assert ra.pop("listing") == "driver"
+    assert rc.pop("listing") == "store"
+    assert ra == rc
+    assert rc["data_files_removed"] >= 1
+    assert rc["data_files_kept_young"] >= 1
+    assert _all_files(a_root) == _all_files(c_root)
+    assert _state(a) == _state(c) == _state(sink)
+    # idempotent second pass through the store path
+    rc2 = c.vacuum(retain_versions=3, min_age_seconds=600,
+                   listing="store")
+    assert rc2["data_files_removed"] == 0
