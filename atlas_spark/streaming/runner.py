@@ -42,15 +42,28 @@ CHANGELOG_DDL = (
     "lang string, content string, payload string, ts timestamp"
 )
 
-def decode_kafka_values(raw: DataFrame) -> DataFrame:
+def decode_kafka_values(raw: DataFrame,
+                        drop_tombstones: bool = True) -> DataFrame:
     """Decode a Kafka-shaped relation (binary ``value`` column holding
     a JSON change event) into typed changelog columns.
 
     Standalone so it unit-tests without a broker: the projection is
     identical for a readStream(kafka) source and a constructed batch
-    DataFrame.  Malformed JSON yields NULL fields (from_json's PERMISSIVE
-    default), which the quarantine validity predicate then dead-letters
-    — a poison Kafka message cannot crash or pollute an epoch."""
+    DataFrame.  Hardened for the two poison shapes a real topic
+    carries (VERDICT r06 #7 — a broker swap must be config-only):
+
+    * **Malformed JSON** yields NULL fields (from_json's PERMISSIVE
+      default), which the quarantine validity predicate dead-letters
+      with a reason — a poison message cannot crash or pollute an
+      epoch.
+    * **NULL-value records** (Debezium-style log-compaction
+      tombstones: a key-only marker FOLLOWING the delete event it
+      compacts) are dropped before decoding — they carry no change;
+      the actual delete arrived as its own ``op="D"`` event.  Pass
+      ``drop_tombstones=False`` to keep them (they then dead-letter
+      through the same taxonomy, so either policy is loss-visible)."""
+    if drop_tombstones:
+        raw = raw.filter(F.col("value").isNotNull())
     return raw.select(
         F.from_json(F.col("value").cast("string"), CHANGELOG_DDL).alias("e")
     ).select("e.*")
@@ -130,14 +143,31 @@ def _active_rules(df: DataFrame, rules: SchemaRules,
         if surfaced_name(target) in known:
             continue
         names = [target] + [o for o, n in rules.renames.items() if n == target]
-        # probe the LEAF key name: for a nested path the raw-string
-        # regex can't see nesting, and a false positive merely adds an
-        # all-null column one epoch early (same contract as flat adds)
-        leaves = sorted({p.split(".")[-1] for p in names})
-        pat = "\"(" + "|".join(leaves) + ")\"\\s*:"
-        probes[target] = F.max(F.col("payload").rlike(pat)).alias(
-            surfaced_name(target)
-        )
+        # presence probe per candidate path: the raw-string regex
+        # can't see nesting, so a nested path (meta.depth) requires
+        # EVERY segment key to appear ("meta" AND "depth") — anchoring
+        # on the root key too (ADVICE r06: leaf-only matching meant an
+        # unrelated top-level "depth" PERMANENTLY added an all-null
+        # meta_depth column, not just one epoch early).  A payload
+        # carrying all segments without the actual nesting is still a
+        # false positive, but only adds an all-null column one epoch
+        # early (same contract as flat adds).
+        def _present(path: str):
+            import re as _re
+
+            c = None
+            for seg in path.split("."):
+                e = F.col("payload").rlike(
+                    '"' + _re.escape(seg) + '"\\s*:'
+                )
+                c = e if c is None else (c & e)
+            return c
+
+        any_name = None
+        for p in names:
+            e = _present(p)
+            any_name = e if any_name is None else (any_name | e)
+        probes[target] = F.max(any_name).alias(surfaced_name(target))
     if probes:
         row = df.agg(*probes.values()).collect()[0]
         present = {k for k in probes if row[surfaced_name(k)]}

@@ -327,7 +327,26 @@ def _controls_vs_prev(controls: dict) -> dict | None:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
     )
+    # never compare the in-progress round's controls to themselves
+    # (ADVICE r06: once the driver writes BENCH_r{N}.json, a re-run
+    # within round N would read ratios ≈ 1.0 and silently defeat the
+    # drift adjudication) — the current round comes from the driver's
+    # progress log, overridable via ATLAS_BENCH_CUR_ROUND
+    cur_round = None
+    try:
+        cur_round = int(os.environ["ATLAS_BENCH_CUR_ROUND"])
+    except (KeyError, ValueError):
+        try:
+            with open(os.path.join(here, "PROGRESS.jsonl")) as f:
+                for line in f:
+                    if line.strip():
+                        cur_round = json.loads(line).get("round")
+        except (OSError, json.JSONDecodeError):
+            cur_round = None
     for path in reversed(rounds):
+        n = int(re.search(r"_r(\d+)", path).group(1))
+        if cur_round is not None and n >= cur_round:
+            continue
         try:
             with open(path) as f:
                 doc = json.load(f)

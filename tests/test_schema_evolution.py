@@ -261,3 +261,34 @@ def test_rename_chain_property_matches_iterated_application():
             assert v not in rules.renames
 
     check()
+
+
+def test_nested_probe_anchors_on_root_key(spark):
+    """ADVICE r06: a top-level key sharing only the LEAF name of a
+    declared nested path (payload ``{"depth": 3}`` while ``meta.depth``
+    is declared) must NOT evolve the schema — the presence probe
+    requires EVERY path segment key to appear, not just the leaf."""
+    from atlas_spark.plans.schema_evolution import SchemaRules
+    from atlas_spark.streaming.runner import _active_rules
+
+    rules = SchemaRules(renames={},
+                        typed_columns={"meta.depth": "bigint"})
+    top_only = spark.createDataFrame(
+        [('{"depth": 3}',)], "payload string"
+    )
+    assert _active_rules(top_only, rules).typed_columns == {}
+    nested = spark.createDataFrame(
+        [('{"meta": {"depth": 3}}',)], "payload string"
+    )
+    assert _active_rules(nested, rules).typed_columns == {
+        "meta.depth": "bigint"
+    }
+    # a rename's OLD path is probed on its OWN segments
+    rules2 = SchemaRules(renames={"m.d": "meta.depth"},
+                         typed_columns={"meta.depth": "bigint"})
+    old_shape = spark.createDataFrame(
+        [('{"m": {"d": 1}}',)], "payload string"
+    )
+    assert _active_rules(old_shape, rules2).typed_columns == {
+        "meta.depth": "bigint"
+    }

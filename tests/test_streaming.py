@@ -245,3 +245,52 @@ def test_late_data_streaming_converges_via_seq_guard(spark, tmp_path):
         for op in (p.get("stateOperators") or [])
     )
     assert dropped > 0, "late rows should be dropped by the watermark"
+
+
+def test_kafka_poison_and_tombstones_through_quarantine(spark, tmp_path):
+    """VERDICT r06 #7: the Kafka decode surface hardened within sandbox
+    limits — a compaction tombstone (NULL value) is dropped as a
+    non-event, a malformed message dead-letters through the SAME
+    quarantine taxonomy as the file source (reason recorded), and the
+    good events still merge; a broker swap stays config-only."""
+    import json
+
+    from atlas_spark.sinks import LakehouseSink
+    from atlas_spark.streaming import ReplayRunner
+    from atlas_spark.streaming.runner import decode_kafka_values
+
+    def ev(seq, op, path, content):
+        return json.dumps({
+            "seq": seq, "op": op, "repo": "r1", "path": path,
+            "commit": f"c{seq}", "lang": "py", "content": content,
+            "payload": "{}", "ts": "2024-03-01T10:00:00Z",
+        }).encode()
+
+    rows = [
+        (b"k1", ev(1, "I", "a.py", "v1")),
+        (b"k1", ev(2, "D", "a.py", None)),
+        (b"k1", None),                      # compaction tombstone
+        (b"k2", ev(3, "I", "b.py", "v3")),
+        (b"k3", b"{\"seq\": not json"),     # poison message
+        (b"k4", ev(4, "X", "c.py", "bad")),  # unknown op
+    ]
+    raw = spark.createDataFrame(rows, "key binary, value binary")
+
+    decoded = decode_kafka_values(raw)
+    assert decoded.count() == 5  # tombstone dropped pre-decode
+    # keep-tombstones policy: same row count in, dead-letters instead
+    assert decode_kafka_values(raw, drop_tombstones=False).count() == 6
+
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=2)
+    sink.ensure()
+    rejects = str(tmp_path / "rejects")
+    runner = ReplayRunner(spark, sink, quarantine=True,
+                          rejects_dir=rejects)
+    res = runner.apply_batch(decoded, 0)
+    assert res["rejects"] == 2  # poison + bad-op, NOT the tombstone
+    got = {(r["repo"], r["path"]) for r in sink.read().collect()}
+    assert got == {("r1", "b.py")}  # a.py deleted, c.py rejected
+    reasons = sorted(
+        r["_reason"] for r in spark.read.parquet(rejects).collect()
+    )
+    assert reasons == ["bad_op", "null_repo"]

@@ -204,13 +204,25 @@ def interleaved_main(events: int, n_pairs: int = 6,
         ctl_after = _controls()
         print(json.dumps({"controls_after": ctl_after}), flush=True)
     finally:
+        # quit BOTH first, then reap — and never let a hung first
+        # server leak the second JVM or discard a completed ladder's
+        # report section (ADVICE r06: TimeoutExpired here aborted
+        # before the median/spread report was written)
         for p in (a, b):
             try:
                 p.stdin.write("quit\n")
                 p.stdin.flush()
             except OSError:
                 pass
-            p.wait(timeout=120)
+        for p in (a, b):
+            try:
+                p.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                try:
+                    p.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    pass
 
     effs = sorted(x["eff"] for x in pairs)
     n = len(effs)
@@ -266,10 +278,15 @@ Raw JSON:
 
 def main() -> None:
     if "--interleaved" in sys.argv:
+        # usage: --interleaved [events] [n_pairs] [w_lo w_hi]
+        # (VERDICT r06 #1: arbitrary width pairs, so the 2→8 and 4→16
+        # rows can be re-measured on the GC-fixed protocol)
         sys.argv.remove("--interleaved")
         events = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
         n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-        interleaved_main(events, n_pairs)
+        w_lo = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        w_hi = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        interleaved_main(events, n_pairs, widths=(w_lo, w_hi))
         return
     events = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
     sys.path.insert(0, REPO)
