@@ -1383,11 +1383,10 @@ class LakehouseSink(Sink):
         new = (self._read_files(news, fields, spark=sess) if news
                else sess.createDataFrame([], schema))
         rel = f"_changes/epoch={epoch_id:06d}"
-        (
-            self._change_rows(old, new, include_pre=True)
-            .write.mode("overwrite")
-            .parquet(os.path.join(self.root, rel))
-        )
+        chg = self._change_rows(old, new, include_pre=True)
+        if self._capture is not None:
+            self._capture["changes_plan"] = _explain(chg)
+        chg.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         return rel
 
     def changes(self, epoch_id: int) -> DataFrame:

@@ -203,3 +203,33 @@ def test_partially_compacted_mor_read_windows_only_multifile_buckets(
     assert len(got) == 24
     for (repo, _), s in got.items():
         assert (s >= 100) == (repo == "r0")
+
+
+def test_plans_doc_fingerprints_fresh(spark):
+    """VERDICT r06 #4: docs/PLANS.md must never silently lag a
+    plan-affecting edit — recapture every audited plan through the
+    same shared capture code and compare operator-shape fingerprints
+    to the ones recorded in the doc.  Fails ⇒ rerun
+    ``python tools/plan_audit.py``."""
+    import json
+    import os
+    import re
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import plan_audit
+
+    with open(os.path.join(repo, "docs", "PLANS.md")) as f:
+        doc = f.read()
+    m = re.search(r"```json\n(\{.*?\})\n```", doc, re.S)
+    assert m, "docs/PLANS.md carries no fingerprint block — regenerate"
+    recorded = json.loads(m.group(1))["fingerprints"]
+    fresh = {
+        title: plan_audit.fingerprint(p)
+        for title, _why, p in plan_audit.capture_sections(spark)
+    }
+    assert fresh == recorded, (
+        "docs/PLANS.md is STALE — a plan-affecting change landed "
+        "without regenerating the audit; run python tools/plan_audit.py"
+    )

@@ -31,8 +31,28 @@ def plan(df, mode="formatted") -> str:
     )
 
 
-def main() -> None:
-    spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
+def fingerprint(plan_str: str) -> str:
+    """Stable digest of a plan's PHYSICAL OPERATOR SHAPE: the ordered
+    operator-name sequence of the formatted-explain tree, with
+    expression ids, partition counts, paths and sizes normalized away —
+    invariant across parallelism/tmpdirs, sensitive to any operator
+    added, removed or reordered.  tests/test_plans.py recaptures every
+    audited plan and compares these against the ones recorded in
+    docs/PLANS.md, so the doc cannot silently lag a plan-affecting
+    edit (VERDICT r06 #4)."""
+    import hashlib
+    import re
+
+    ops = re.findall(
+        r"^[\s*+:\-]*([A-Za-z][A-Za-z0-9]*)\s*\(\d+\)", plan_str, re.M
+    )
+    return hashlib.sha256(",".join(ops).encode()).hexdigest()[:12]
+
+
+def capture_sections(spark) -> list[tuple[str, str, str]]:
+    """Build every audited plan against a scratch table and return
+    ``(title, why, formatted_plan)`` triples — shared by the doc
+    generator (main) and the staleness-guard test."""
     tmp = tempfile.mkdtemp()
     log = os.path.join(tmp, "log")
     write_changelog(
@@ -115,6 +135,27 @@ def main() -> None:
         out1,
     ))
 
+    # the emitted change feed (round 6): two pruned immutable-file-set
+    # scans + one key join, captured from the SHIPPED emit path
+    cdf = LakehouseSink(spark, os.path.join(tmp, "t_cdf"), n_buckets=8,
+                        emit_changes=True)
+    cdf.ensure()
+    cdf.merge(mdf, 0)
+    cdf._capture = {}
+    cdf.merge(mdf.withColumn("seq", F.col("seq") + 10_000), 1)
+    sections.append((
+        "Change-feed emit (CDF): two pruned scans + one key join",
+        "Every committed CoW merge writes its I/U/D rows up front. "
+        "Pre/post states are scans of the IMMUTABLE old/new file sets "
+        "of the TOUCHED buckets only (never the table), full-outer-"
+        "joined on the bucketing key — co-located at scale, "
+        "O(touched buckets). The pre-state comes from the manifest "
+        "version the commit actually landed on (OCC-rebase-safe), and "
+        "the classifier is the same code diff() runs, so feed and "
+        "post-hoc diff cannot diverge.",
+        cdf._capture["changes_plan"],
+    ))
+
     salted = df.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(16)))
     partial = salted.groupBy("repo", "_salt").agg(F.max("seq").alias("m"))
     final = partial.groupBy("repo").agg(F.max("m").alias("max_seq"))
@@ -192,11 +233,32 @@ def main() -> None:
         plan(counts),
     ))
 
+    return sections
+
+
+def main() -> None:
+    import json
+
+    spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
+    sections = capture_sections(spark)
+    fps = {title: fingerprint(p) for title, _why, p in sections}
     md = ["# Physical-plan audit (generated by tools/plan_audit.py)\n"]
     for title, why, p in sections:
-        md.append(f"## {title}\n\n{why}\n\n```\n{p}\n```\n")
-    os.makedirs("docs", exist_ok=True)
-    with open("docs/PLANS.md", "w") as f:
+        md.append(
+            f"## {title}\n\n{why}\n\n*(shape fingerprint: `{fps[title]}` "
+            "— pinned fresh by tests/test_plans.py)*\n\n```\n{0}\n```\n"
+            .format(p)
+        )
+    # machine-readable freshness pin (VERDICT r06 #4): the test
+    # recaptures every plan and compares against this block
+    md.append(
+        "## Fingerprints\n\n```json\n"
+        + json.dumps({"fingerprints": fps}, indent=2)
+        + "\n```\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.makedirs(os.path.join(repo, "docs"), exist_ok=True)
+    with open(os.path.join(repo, "docs", "PLANS.md"), "w") as f:
         f.write("\n".join(md))
     print("wrote docs/PLANS.md")
     spark.stop()
