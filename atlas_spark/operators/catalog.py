@@ -615,6 +615,57 @@ def q_cdf_emit(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdf_backfill(spark, sf_dir):
+    """Commit→emit crash recovery (VERDICT r06 #3) under the driver's
+    hash gate: run the same two-epoch ``emit_changes`` replay as
+    ``q_cdf_emit``, then SIMULATE the kill window by deleting epoch 1's
+    emitted feed dir, run ``backfill_changes()`` (the resume-path
+    repair), and return the REGENERATED feed.  It must hash-match the
+    same oracle as the emitted one — the regeneration path
+    (version-pair snapshots through the shared classifier) and the
+    emit path are interchangeable by construction."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks import LakehouseSink
+
+    ev = _events(spark, sf_dir)
+    cl = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
+                 .cast("string")).alias("repo"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        .alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="atlas_q_cdfbf_")
+    try:
+        sink = LakehouseSink(spark, root, n_buckets=8, emit_changes=True)
+        sink.ensure()
+        sink.merge(cl.filter(F.col("seq") < 5000), 0)
+        sink.merge(cl.filter(F.col("seq") >= 5000), 1)
+        # the crash window: commit durable, feed lost
+        shutil.rmtree(os.path.join(root, "_changes/epoch=000001"))
+        repaired = sink.backfill_changes()
+        assert repaired == [1], repaired
+        return (
+            sink.changes(1)
+            .select(
+                "_change", "repo", "path",
+                "_pre_content_sha256", "_pre_seq",
+                "seq", "commit", "lang", "content", "content_sha256",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def q_nested_evolution(spark, sf_dir):
     """Nested-payload schema evolution (VERDICT r05 #6) under the
     driver's hash gate: dotted-path typed columns over a nested JSON
@@ -867,6 +918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_fold": q_cdc_fold,
     "q_state_diff": q_state_diff,
     "q_cdf_emit": q_cdf_emit,
+    "q_cdf_backfill": q_cdf_backfill,
     "q_nested_evolution": q_nested_evolution,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
@@ -1169,6 +1221,10 @@ def _sqlq(pat: str) -> str:
     """Escape a regex for embedding in a single-quoted SQL literal."""
     return pat.replace("'", "''")
 
+
+# the backfilled (crash-regenerated) feed must equal the emitted one —
+# same oracle by construction (shared classifier; VERDICT r06 #3)
+ORACLES["q_cdf_backfill"] = ORACLES["q_cdf_emit"]
 
 # q_anonymize_report oracle is generated from the SAME pattern registry
 # the Spark query uses (atlas_spark.anonymize.PATTERNS), so the two

@@ -258,8 +258,16 @@ before = CPU {ctl_before['ctl_cpu']:.2f} / SCAN {ctl_before['ctl_scan']:.2f};
 after = CPU {ctl_after['ctl_cpu']:.2f} / SCAN {ctl_after['ctl_scan']:.2f}.
 
 **Per-pair efficiency: median {median:.2f}, spread {spread:.2f}
-(min {effs[0]:.2f}, max {effs[-1]:.2f}) → north-rule ≥ 0.8
-{"MET" if met else "NOT MET"} on the interleaved protocol.**
+(min {effs[0]:.2f}, max {effs[-1]:.2f}) — {
+    f'north-rule ≥ 0.8 {"MET" if met else "NOT MET"} on the '
+    'interleaved protocol.'
+    if (w1, w4) == (1, 4) else
+    'wider-pair characterization: the north-rule evidence pair is '
+    '1→4 (inside this VM’s linear region); read this pair against '
+    'the bracketing SCAN control — a single box shares one memory '
+    'bus across all threads, which a multi-executor cluster does '
+    'not.'
+}**
 The r04/r05 sequential six-roll history spanned 0.76–0.84 (spread
 0.08) and needed per-roll adjudication; this ladder's spread is the
 protocol's own noise floor, measured inside one window.
