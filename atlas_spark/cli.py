@@ -37,7 +37,8 @@ def _build(cfg):
     else:
         sink = LakehouseSink(spark, cfg.sink.table_root,
                              n_buckets=cfg.sink.n_buckets,
-                             mode=cfg.sink.merge_mode)
+                             mode=cfg.sink.merge_mode,
+                             emit_changes=cfg.sink.emit_changes)
     decl = cfg.sink.declared_pairs() if hasattr(cfg.sink, "declared_pairs") else []
     if decl and hasattr(sink, "supports_deferred_decode"):
         sink.ensure(declared_columns=decl)

@@ -38,6 +38,10 @@ class SinkConfig:
     n_buckets: int = 64
     format: str = "lakehouse"  # or "iceberg"
     merge_mode: str = "cow"    # cow = copy-on-write, mor = merge-on-read
+    # write the change-data-feed on every committed merge (Delta CDF
+    # analog; CoW only — MoR's feed is diff()); read with
+    # sink.changes(epoch) / diff(v1, v2)
+    emit_changes: bool = False
     # evolved payload columns declared at CREATE TABLE time ("name:
     # type" strings, e.g. ["lines:bigint"]): the runner then never
     # probes the raw payload for their presence (DDL-ensure, W8)
@@ -51,6 +55,11 @@ class SinkConfig:
             errs.append("sink.format must be lakehouse|iceberg")
         if self.merge_mode not in ("cow", "mor"):
             errs.append("sink.merge_mode must be cow|mor")
+        if self.emit_changes and self.merge_mode == "mor":
+            errs.append(
+                "sink.emit_changes requires merge_mode=cow "
+                "(a MoR merge never reads pre-state; use diff())"
+            )
         for d in self.declared_columns:
             if ":" not in d:
                 errs.append(

@@ -146,3 +146,33 @@ def test_cli_validate_config_exit_2_on_bad_ranges(tmp_path):
     )
     assert r.returncode == 2
     assert "compact_every" in r.stderr
+
+
+def test_emit_changes_config_wiring(tmp_path):
+    """sink.emit_changes flows TOML → config → validation: MoR+emit is
+    rejected at validate time (same contract the sink enforces), the
+    bool coerces from an env override, and the default stays off."""
+    from atlas_spark.config import load_config
+
+    p = tmp_path / "e.toml"
+    p.write_text(
+        '[source]\nchangelog_dir = "/x"\n'
+        '[sink]\ntable_root = "/t"\nemit_changes = true\n'
+    )
+    cfg = load_config(str(p))
+    assert cfg.sink.emit_changes is True
+    assert cfg.validate() == []
+
+    cfg2 = load_config(str(p), env={
+        "ATLAS_SPARK_SINK_EMIT_CHANGES": "false"
+    })
+    assert cfg2.sink.emit_changes is False
+
+    bad = tmp_path / "bad.toml"
+    bad.write_text(
+        '[source]\nchangelog_dir = "/x"\n'
+        '[sink]\ntable_root = "/t"\nmerge_mode = "mor"\n'
+        "emit_changes = true\n"
+    )
+    errs = load_config(str(bad)).validate()
+    assert any("emit_changes requires merge_mode=cow" in e for e in errs)

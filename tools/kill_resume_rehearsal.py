@@ -38,7 +38,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _cfg(path: str, log_dir: str, root: str, files_per_epoch: int) -> str:
+def _cfg(path: str, log_dir: str, root: str, files_per_epoch: int,
+         emit_changes: bool = False) -> str:
     cfg = os.path.join(path, "engine.toml")
     with open(cfg, "w") as f:
         f.write(
@@ -48,6 +49,7 @@ def _cfg(path: str, log_dir: str, root: str, files_per_epoch: int) -> str:
             "[sink]\n"
             f'table_root = "{root}"\n'
             "n_buckets = 64\n"
+            + ("emit_changes = true\n" if emit_changes else "")
         )
     return cfg
 
@@ -78,6 +80,13 @@ def _committed(root: str) -> int:
 
 
 def main() -> None:
+    # --emit-changes: run the KILL side with the change feed on, so the
+    # SIGKILL can land anywhere including the commit→emit window, and
+    # verify post-resume that the feed is gap-free and diff-equal for
+    # every committed merge (VERDICT r06 #3 at the 64M scale)
+    emit = "--emit-changes" in sys.argv
+    if emit:
+        sys.argv.remove("--emit-changes")
     events = int(sys.argv[1]) if len(sys.argv) > 1 else 64_000_000
     kill_after = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
     from bench import ensure_changelog
@@ -103,7 +112,8 @@ def main() -> None:
         root_kill = os.path.join(work, "kill")
         kdir = os.path.join(work, "k")
         os.makedirs(kdir, exist_ok=True)
-        cfg_kill = _cfg(kdir, log_dir, root_kill, 8)
+        cfg_kill = _cfg(kdir, log_dir, root_kill, 8, emit_changes=emit)
+        out["emit_changes"] = emit
         p = _replay(cfg_kill, env)
         target = 2  # let epochs 0..2 commit, kill inside epoch 3
         while _committed(root_kill) < target:
@@ -132,7 +142,8 @@ def main() -> None:
         spark = get_spark("rehearsal_verify", master="local[16]",
                           shuffle_partitions=32)
         clean = LakehouseSink(spark, root_clean).read()
-        killed = LakehouseSink(spark, root_kill).read()
+        ksink = LakehouseSink(spark, root_kill, emit_changes=emit)
+        killed = ksink.read()
         rep = verify_state(killed, clean)
         out["verify"] = {
             "expected_rows": rep.expected_rows,
@@ -142,9 +153,33 @@ def main() -> None:
             "hash_mismatch": rep.hash_mismatch,
             "passed": rep.passed,
         }
+        feed_ok = True
+        if emit:
+            # gap-free + diff-equal change feed for EVERY committed
+            # merge version, whatever window the SIGKILL landed in
+            missing = ksink.backfill_changes()  # must be a no-op:
+            # the resumed CLI replay already repaired any gap
+            out["feed_backfilled_after_resume"] = missing
+            checked = 0
+            head = ksink.manifest()["version"]
+            for v in range(1, head + 1):
+                mv = ksink.manifest(v)
+                ep = mv.get("epoch_id", -1)
+                if ep < 0 or mv.get("compaction"):
+                    continue
+                emitted = ksink.changes(ep).drop(
+                    "_pre_content_sha256", "_pre_seq"
+                )
+                delta = emitted.exceptAll(ksink.diff(v - 1, v)).count() \
+                    + ksink.diff(v - 1, v).exceptAll(emitted).count()
+                if delta:
+                    feed_ok = False
+                checked += 1
+            out["feed_epochs_checked"] = checked
+            out["feed_matches_diff"] = feed_ok
         spark.stop()
         print(json.dumps(out))
-        if not rep.passed:
+        if not rep.passed or not feed_ok:
             raise SystemExit(1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
