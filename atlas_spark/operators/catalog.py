@@ -666,6 +666,57 @@ def q_cdf_backfill(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_cdf_incremental_agg(spark, sf_dir):
+    """Incremental materialized-view maintenance from the change feed
+    (round 7) under the driver's hash gate: replay the same two-epoch
+    changelog as ``q_cdf_emit`` with the full pre-image feed
+    (``cdf_preimage=True``), fold BOTH epochs' feeds through
+    ``IncrementalAggView`` (I adds post, D retracts pre, U does both —
+    never a base-table scan), and return the per-repo aggregate.  The
+    oracle computes the same aggregate DIRECTLY over the final LWW
+    live state — so any defect in the pre-image, the delta algebra, or
+    the fold breaks the hash.  Measures are distributive (count + sum
+    of content length), the only class the operator admits."""
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import IncrementalAggView
+    from ..sinks import LakehouseSink
+
+    ev = _events(spark, sf_dir)
+    cl = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
+                 .cast("string")).alias("repo"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        .alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.col("props").alias("content"),
+    )
+    root = tempfile.mkdtemp(prefix="atlas_q_cdfia_")
+    vdir = tempfile.mkdtemp(prefix="atlas_q_cdfia_v_")
+    try:
+        sink = LakehouseSink(spark, root, n_buckets=8,
+                             emit_changes=True, cdf_preimage=True)
+        sink.ensure()
+        sink.merge(cl.filter(F.col("seq") < 5000), 0)
+        sink.merge(cl.filter(F.col("seq") >= 5000), 1)
+        view = IncrementalAggView(
+            spark, vdir, ["repo"],
+            {"total_chars": lambda c: F.length(c("content"))},
+            count_col="n_paths",
+        )
+        applied = view.refresh(sink)["applied_epochs"]
+        assert applied == [0, 1], applied
+        return view.state().localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(vdir, ignore_errors=True)
+
+
 def q_nested_evolution(spark, sf_dir):
     """Nested-payload schema evolution (VERDICT r05 #6) under the
     driver's hash gate: dotted-path typed columns over a nested JSON
@@ -919,6 +970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_state_diff": q_state_diff,
     "q_cdf_emit": q_cdf_emit,
     "q_cdf_backfill": q_cdf_backfill,
+    "q_cdf_incremental_agg": q_cdf_incremental_agg,
     "q_nested_evolution": q_nested_evolution,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
@@ -1225,6 +1277,26 @@ def _sqlq(pat: str) -> str:
 # the backfilled (crash-regenerated) feed must equal the emitted one —
 # same oracle by construction (shared classifier; VERDICT r06 #3)
 ORACLES["q_cdf_backfill"] = ORACLES["q_cdf_emit"]
+
+# The incremental view folded from the change feed must equal the same
+# aggregate computed directly over the final LWW live state — the
+# oracle does it the expensive way (full fold + scan).
+ORACLES["q_cdf_incremental_agg"] = """
+    WITH cl AS (
+      SELECT event_id AS seq,
+             (event_type = 'error') AS del,
+             'r' || CAST(user_id % 8 AS VARCHAR) AS repo,
+             'u' || CAST(user_id AS VARCHAR) AS path,
+             props AS content
+      FROM events),
+    n AS (SELECT repo, path, del, content
+          FROM (SELECT cl.*, row_number() OVER (
+                    PARTITION BY repo, path ORDER BY seq DESC) rn
+                FROM cl) WHERE rn = 1)
+    SELECT repo, count(*) AS n_paths,
+           CAST(sum(length(content)) AS BIGINT) AS total_chars
+    FROM n WHERE NOT del GROUP BY repo
+"""
 
 # q_anonymize_report oracle is generated from the SAME pattern registry
 # the Spark query uses (atlas_spark.anonymize.PATTERNS), so the two

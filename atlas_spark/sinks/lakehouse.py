@@ -288,6 +288,7 @@ class LakehouseSink(Sink):
         exact_duplicate_metrics: bool = False,
         commit_store: "CommitStore | None" = None,
         emit_changes: bool = False,
+        cdf_preimage: bool = False,
         data_plane=None,
     ):
         """``mode``:
@@ -325,6 +326,11 @@ class LakehouseSink(Sink):
                 "reads existing state; use diff(from, to) for MoR CDF"
             )
         self.emit_changes = emit_changes
+        # carry the full old row as a `_pre` struct in the emitted feed
+        # (Delta CDF update_preimage analog) — what downstream
+        # incremental aggregation needs to retract U/D contributions
+        # without ever reading a prior snapshot
+        self.cdf_preimage = cdf_preimage
         self.exact_duplicate_metrics = exact_duplicate_metrics
         self.spark = spark
         self.root = root
@@ -1319,16 +1325,24 @@ class LakehouseSink(Sink):
 
     @staticmethod
     def _change_rows(old: DataFrame, new: DataFrame,
-                     include_pre: bool = False) -> DataFrame:
+                     include_pre: bool = False,
+                     include_preimage: bool = False) -> DataFrame:
         """Classify changes between two states of the same key space
         (the single source of truth for both ``diff()`` and the merge's
         emitted CDF).  ``include_pre`` adds the pre-image identity
-        columns ``_pre_content_sha256`` / ``_pre_seq``."""
+        columns ``_pre_content_sha256`` / ``_pre_seq``;
+        ``include_preimage`` additionally carries the FULL old row as a
+        ``_pre`` struct (Delta CDF ``update_preimage`` analog — what
+        downstream incremental aggregation needs to retract a U/D's
+        old contribution; see operators/incremental.py).  NULL when no
+        old row existed (an I over a never-seen key)."""
+        keepo = [c for c in old.columns if c not in KEY_COLS]
         o = old.select(
             *KEY_COLS,
             F.col("content_sha256").alias("_o_sha"),
             F.col("seq").alias("_o_seq"),
             (~F.col("is_deleted")).alias("_o_live"),
+            *([F.struct(*keepo).alias("_o")] if include_preimage else []),
         )
         keep = [c for c in new.columns if c not in KEY_COLS]
         n = new.select(
@@ -1353,6 +1367,13 @@ class LakehouseSink(Sink):
              F.col("_o_seq").alias("_pre_seq")]
             if include_pre else []
         )
+        if include_preimage:
+            # struct is NULL (not a struct of nulls) when no old row
+            # joined — `_o_live` is non-null iff the old side matched
+            pre.append(
+                F.when(F.col("_o_live").isNotNull(), F.col("_o"))
+                .alias("_pre")
+            )
         return (
             j.withColumn("_change", change)
             .filter(F.col("_change").isNotNull())
@@ -1383,7 +1404,8 @@ class LakehouseSink(Sink):
         new = (self._read_files(news, fields, spark=sess) if news
                else sess.createDataFrame([], schema))
         rel = f"_changes/epoch={epoch_id:06d}"
-        chg = self._change_rows(old, new, include_pre=True)
+        chg = self._change_rows(old, new, include_pre=True,
+                                include_preimage=self.cdf_preimage)
         if self._capture is not None:
             self._capture["changes_plan"] = _explain(chg)
         chg.write.mode("overwrite").parquet(os.path.join(self.root, rel))
@@ -1440,7 +1462,8 @@ class LakehouseSink(Sink):
         old = self.read(include_tombstones=True, version=version - 1)
         new = self.read(include_tombstones=True, version=version)
         (
-            self._change_rows(old, new, include_pre=True)
+            self._change_rows(old, new, include_pre=True,
+                              include_preimage=self.cdf_preimage)
             .write.mode("overwrite")
             .parquet(os.path.join(self.root, rel))
         )
@@ -1469,6 +1492,37 @@ class LakehouseSink(Sink):
                 self._regenerate_epoch_changes(v, ep)
                 repaired.append(ep)
         return repaired
+
+    def changes_stream(self, max_files_per_trigger: int | None = None):
+        """Structured-Streaming reader over the emitted change feed —
+        the subscription analog of :meth:`changes`.  New
+        ``_changes/epoch=*`` dirs written by later merges are picked up
+        incrementally by the file source (with a checkpoint, a
+        restarted stream resumes exactly where it left off), and the
+        ``epoch`` partition column arrives as a regular int column, so
+        downstream consumers (e.g. ``IncrementalAggView.stream_refresh``
+        via ``foreachBatch``) see every change row exactly once.
+
+        Requires at least one emitted epoch (the static schema is read
+        from the feed itself).  Feed dirs are immutable once their
+        ``_SUCCESS`` exists; call :meth:`backfill_changes` BEFORE
+        starting a stream over a table that may have crashed in the
+        commit→emit window (the CLI's resume path already does), so the
+        source never lists a half-written feed.
+
+        At scale: the file source only LISTs ``_changes/`` and reads
+        each epoch's parquet once — no snapshot reads, no joins; state
+        is the checkpoint's seen-file log, O(feed files)."""
+        base = os.path.join(self.root, "_changes")
+        schema = self.spark.read.parquet(base).schema  # incl. `epoch`
+        reader = self.spark.readStream.schema(schema).option(
+            "basePath", base
+        )
+        if max_files_per_trigger is not None:
+            reader = reader.option(
+                "maxFilesPerTrigger", str(max_files_per_trigger)
+            )
+        return reader.parquet(base)
 
     def watermarks(self) -> dict[str, int]:
         return dict(self.manifest()["watermarks"])

@@ -1,0 +1,227 @@
+"""Incremental materialized-view maintenance from the change feed
+(round 7): the downstream-aggregate fold must equal a direct aggregate
+over the live base state after every refresh, batch or streaming,
+including U-rows that migrate between groups and crash-mid-refresh
+re-folds.
+
+Reference parity: the reference re-runs the full export query per sync
+(/root/reference/src/core/export/batch.rs); the feed + fold here makes
+that refresh O(changed rows) instead of O(table).
+"""
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from atlas_spark.operators.incremental import (
+    IncrementalAggView, cdf_delta, count_live, fold_delta,
+)
+from atlas_spark.sinks import LakehouseSink
+
+COLS = ["seq", "op", "repo", "path", "commit", "lang", "content"]
+
+
+def _cl(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=COLS))
+
+
+def _sink(spark, tmp_path, **kw):
+    s = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4,
+                      emit_changes=True, cdf_preimage=True, **kw)
+    s.ensure()
+    return s
+
+
+MEASURES = {"total_chars": lambda c: F.length(c("content"))}
+
+
+def _direct(sink):
+    """The view's definition evaluated the expensive way — a full scan
+    of the live base state (what refresh() must never need)."""
+    return sorted(
+        tuple(r)
+        for r in sink.read()
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.length("content")).alias("total_chars"))
+        .collect()
+    )
+
+
+def _view_rows(view):
+    return sorted(tuple(r) for r in view.state().collect())
+
+
+def test_preimage_struct_in_feed(spark, tmp_path):
+    """cdf_preimage=True carries the full old row for U/D and NULL
+    (not a struct of nulls) for I; the default feed schema is
+    unchanged (no `_pre` column)."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    sink.merge(_cl(spark, [(2, "U", "r1", "a", "c2", "py", "xyzw"),
+                           (3, "U", "r1", "b", "c3", "go", "q")]), 1)
+    feed = {r["_change"]: r for r in sink.changes(1).collect()}
+    assert feed["I"]["_pre"] is None
+    assert feed["U"]["_pre"]["content"] == "xx"
+    assert feed["U"]["_pre"]["seq"] == 1
+    plain = LakehouseSink(spark, str(tmp_path / "p"), n_buckets=4,
+                          emit_changes=True)
+    plain.ensure()
+    plain.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    assert "_pre" not in plain.changes(0).columns
+
+
+def test_cdf_delta_requires_preimage(spark, tmp_path):
+    sink = LakehouseSink(spark, str(tmp_path / "t"), n_buckets=4,
+                         emit_changes=True)
+    sink.ensure()
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    with pytest.raises(ValueError, match="cdf_preimage"):
+        cdf_delta(sink.changes(0), ["repo"], MEASURES)
+
+
+def test_refresh_tracks_live_state_through_deletes(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["repo"],
+                              dict(MEASURES))
+    sink.merge(_cl(spark, [
+        (1, "U", "r1", "a", "c1", "py", "x" * 10),
+        (2, "U", "r1", "b", "c2", "py", "y" * 20),
+        (3, "U", "r2", "c", "c3", "go", "z" * 5),
+    ]), 0)
+    assert view.refresh(sink)["applied_epochs"] == [0]
+    assert _view_rows(view) == _direct(sink)
+    sink.merge(_cl(spark, [
+        (10, "U", "r1", "a", "c4", "py", "x" * 30),   # U: 10 -> 30
+        (11, "D", "r1", "b", "c5", "py", ""),          # retract 20
+        (12, "U", "r2", "d", "c6", "go", "w" * 7),     # insert
+    ]), 1)
+    assert view.refresh(sink)["applied_epochs"] == [1]
+    assert _view_rows(view) == _direct(sink)
+    # kill the last live r2 row: the group must drop from the view
+    sink.merge(_cl(spark, [(20, "D", "r2", "c", "c7", "go", ""),
+                           (21, "D", "r2", "d", "c8", "go", "")]), 2)
+    view.refresh(sink)
+    assert _view_rows(view) == _direct(sink)
+    assert all(r[0] != "r2" for r in _view_rows(view))
+    # no pending epochs -> no-op, version stable
+    v = view._pointer()["version"]
+    assert view.refresh(sink) == {"applied_epochs": [], "version": v}
+
+
+def test_group_migration_retracts_old_group(spark, tmp_path):
+    """A U whose grouping value changes must retract from the old
+    group and add to the new one — the two-sided pre/post projection,
+    grouped on a NON-key column (lang)."""
+    sink = _sink(spark, tmp_path)
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["lang"],
+                              dict(MEASURES))
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx"),
+                           (2, "U", "r1", "b", "c2", "py", "yyy")]), 0)
+    view.refresh(sink)
+    # content AND lang change together -> a U that moves groups
+    sink.merge(_cl(spark, [(3, "U", "r1", "a", "c3", "go", "zzzz")]), 1)
+    view.refresh(sink)
+    got = _view_rows(view)
+    assert got == sorted(
+        tuple(r) for r in sink.read()
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.length("content")).alias("total_chars"))
+        .collect()
+    )
+    assert ("go", 1, 4) in got and ("py", 1, 3) in got
+
+
+def test_multi_epoch_catchup_single_fold(spark, tmp_path):
+    """A view created after N epochs catches up in one refresh, and
+    matches a view that refreshed after every epoch."""
+    sink = _sink(spark, tmp_path)
+    stepwise = IncrementalAggView(spark, str(tmp_path / "v1"),
+                                  ["repo"], dict(MEASURES))
+    for e in range(4):
+        rows = [(e * 10 + i, "D" if (e == 3 and i == 0) else "U",
+                 f"r{i % 2}", f"p{i}", f"c{e}{i}", "py",
+                 "k" * (e + i + 1)) for i in range(3)]
+        sink.merge(_cl(spark, rows), e)
+        stepwise.refresh(sink)
+    late = IncrementalAggView(spark, str(tmp_path / "v2"), ["repo"],
+                              dict(MEASURES))
+    assert late.refresh(sink)["applied_epochs"] == [0, 1, 2, 3]
+    assert _view_rows(late) == _view_rows(stepwise) == _direct(sink)
+
+
+def test_crash_mid_refresh_refolds_idempotently(spark, tmp_path):
+    """A crash AFTER the new state parquet is written but BEFORE the
+    pointer advances must leave the view readable at the old version,
+    and the re-run refresh re-folds the same epochs to the same
+    rows (feeds immutable + deltas deterministic)."""
+    sink = _sink(spark, tmp_path)
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["repo"],
+                              dict(MEASURES))
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    view.refresh(sink)
+    sink.merge(_cl(spark, [(2, "U", "r1", "a", "c2", "py", "xxxx")]), 1)
+
+    class Boom(RuntimeError):
+        pass
+
+    orig = view._write_pointer
+    view._write_pointer = lambda ptr: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        view.refresh(sink)
+    view._write_pointer = orig
+    # still readable at v1, watermark unmoved
+    assert view._pointer() == {"version": 1, "applied_through_epoch": 0}
+    assert _view_rows(view) == [("r1", 1, 2)]
+    assert view.refresh(sink)["applied_epochs"] == [1]
+    assert _view_rows(view) == _direct(sink)
+    # the orphaned state_v2 from the crashed attempt was overwritten,
+    # not duplicated
+    assert sorted(
+        os.path.basename(p)
+        for p in glob.glob(str(tmp_path / "v" / "state_v*"))
+    ) == ["state_v2"]
+
+
+def test_stream_refresh_checkpoint_resume(spark, tmp_path):
+    """changes_stream + foreachBatch fold: drain-and-stop, then a new
+    epoch, then a restarted stream on the same checkpoint folds ONLY
+    the new epoch (exactly-once via the stream checkpoint)."""
+    sink = _sink(spark, tmp_path)
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["repo"],
+                              dict(MEASURES))
+    ckpt = str(tmp_path / "ck")
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx"),
+                           (2, "U", "r2", "b", "c2", "py", "yyy")]), 0)
+    q = view.stream_refresh(sink, ckpt)
+    q.awaitTermination(120)
+    assert _view_rows(view) == _direct(sink)
+    v_after_first = view._pointer()["version"]
+    sink.merge(_cl(spark, [(3, "D", "r2", "b", "c3", "py", "")]), 1)
+    q = view.stream_refresh(sink, ckpt)
+    q.awaitTermination(120)
+    assert _view_rows(view) == _direct(sink)
+    # exactly one more fold happened (one batch), not a re-fold of all
+    assert view._pointer()["version"] == v_after_first + 1
+
+
+def test_fold_delta_drops_dead_groups_only_with_count(spark):
+    delta = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "b"], "n_rows": [0, 1],
+                      "total_chars": [0, 5]})
+    )
+    kept = fold_delta(None, delta, ["g"], ["n_rows", "total_chars"],
+                      count_col="n_rows")
+    assert [r["g"] for r in kept.collect()] == ["b"]
+    both = fold_delta(None, delta, ["g"], ["n_rows", "total_chars"],
+                      count_col=None)
+    assert both.count() == 2
+
+
+def test_count_live_helper():
+    col = count_live()(lambda n: F.col(n))
+    assert "1" in str(col)
