@@ -95,16 +95,27 @@ def cdf_delta(changes: DataFrame, group_cols: list[str],
             return F.col(f"{preimage_col}.{name}")
         return F.col(name)
 
-    post = changes.filter(F.col("_change").isin("I", "U")).select(
+    # ONE scan of the feed: each change row explodes into its signed
+    # contributions (post-image + for I/U, negated pre-image − for
+    # U/D) as struct array elements — a separate filter branch per
+    # side would scan the feed files twice (verified in the captured
+    # plan; docs/PLANS.md)
+    post_struct = F.struct(
         *[post_col(g).alias(g) for g in group_cols],
         *[m(post_col).alias(k) for k, m in measures.items()],
     )
-    pre = changes.filter(F.col("_change").isin("U", "D")).select(
+    pre_struct = F.struct(
         *[pre_col(g).alias(g) for g in group_cols],
         *[(-m(pre_col)).alias(k) for k, m in measures.items()],
     )
+    contrib = F.array(
+        F.when(F.col("_change").isin("I", "U"), post_struct),
+        F.when(F.col("_change").isin("U", "D"), pre_struct),
+    )
     return (
-        post.unionByName(pre)
+        changes.select(F.explode(contrib).alias("_c"))
+        .filter(F.col("_c").isNotNull())
+        .select("_c.*")
         .groupBy(*group_cols)
         .agg(*[F.sum(k).alias(k) for k in measures])
     )

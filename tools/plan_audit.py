@@ -233,6 +233,40 @@ def capture_sections(spark) -> list[tuple[str, str, str]]:
         plan(counts),
     ))
 
+    # incremental view maintenance (round 7): delta + fold over the
+    # pre-image feed, captured from the SHIPPED operators
+    from atlas_spark.operators.incremental import cdf_delta, fold_delta
+
+    iv = LakehouseSink(spark, os.path.join(tmp, "t_iv"), n_buckets=8,
+                       emit_changes=True, cdf_preimage=True)
+    iv.ensure()
+    iv.merge(mdf, 0)
+    iv.merge(mdf.withColumn("seq", F.col("seq") + 10_000), 1)
+    measures = {"n_rows": lambda c: F.lit(1),
+                "total_chars": lambda c: F.length(c("content"))}
+    delta = cdf_delta(iv.changes(1), ["repo"], measures)
+    folded = fold_delta(
+        cdf_delta(iv.changes(0), ["repo"], measures), delta,
+        ["repo"], ["n_rows", "total_chars"], count_col="n_rows",
+    )
+    sections.append((
+        "Incremental view refresh: O(changed rows), never the table",
+        "The downstream aggregate folds the FEED, not the base table: "
+        "ONE scan of the epoch's change files (a two-branch "
+        "filter+union shape scanned the feed twice — caught in this "
+        "audit and replaced by exploding each row's signed "
+        "contributions: post-image + for I/U, negated `_pre` image − "
+        "for U/D, so group-migrating updates move between groups), "
+        "into one partial-then-final HashAggregate — a single exchange "
+        "carrying per-group deltas. The fold full-outer-joins that "
+        "delta against the state; both sides are group-cardinality-"
+        "sized aggregates (a full-outer can never broadcast, but the "
+        "shuffle moves two tiny relations). Nothing here touches a "
+        "bucket file of the base table: refresh cost stays O(changed "
+        "rows) at any table size.",
+        plan(folded),
+    ))
+
     return sections
 
 
