@@ -64,7 +64,8 @@ def sum_of(expr: Measure) -> Measure:
 
 def cdf_delta(changes: DataFrame, group_cols: list[str],
               measures: dict[str, Measure],
-              preimage_col: str = "_pre") -> DataFrame:
+              preimage_col: str = "_pre",
+              column_types: dict | None = None) -> DataFrame:
     """Per-group additive deltas of one (or a union of several) change
     feeds: post-image contributions (+) for I/U rows, pre-image
     contributions (−) for U/D rows.  Because pre and post are projected
@@ -75,6 +76,13 @@ def cdf_delta(changes: DataFrame, group_cols: list[str],
     from several epochs may be unioned and folded in any order — which
     is also why a streaming ``foreachBatch`` consumer needs no cross-
     batch ordering guarantee.
+
+    ``column_types`` (name → Spark DataType) lets a measure reference
+    a column this particular feed PRE-DATES (schema evolution: the
+    column was added in a later epoch) — the contribution becomes a
+    typed NULL, which ``sum`` skips, exactly matching the base table's
+    all-null reading of pre-evolution rows.  Without the hint, an
+    unknown column raises.
     """
     if preimage_col not in changes.columns:
         raise ValueError(
@@ -85,15 +93,24 @@ def cdf_delta(changes: DataFrame, group_cols: list[str],
     pre_fields = {
         f.name for f in changes.schema[preimage_col].dataType.fields
     }
+    top = set(changes.columns)
+
+    def _null(name: str) -> Column:
+        if column_types and name in column_types:
+            return F.lit(None).cast(column_types[name])
+        raise ValueError(
+            f"column `{name}` is not in this feed (schema evolution?) "
+            "— pass column_types so it can contribute a typed NULL"
+        )
 
     def post_col(name: str) -> Column:
-        return F.col(name)
+        return F.col(name) if name in top else _null(name)
 
     def pre_col(name: str) -> Column:
-        # key columns are identical pre/post and live only top-level
         if name in pre_fields:
             return F.col(f"{preimage_col}.{name}")
-        return F.col(name)
+        # key columns are identical pre/post and live only top-level
+        return F.col(name) if name in top else _null(name)
 
     # ONE scan of the feed: each change row explodes into its signed
     # contributions (post-image + for I/U, negated pre-image − for
@@ -218,9 +235,15 @@ class IncrementalAggView:
     # ---------------------------------------------------------- refresh
     def refresh(self, sink) -> dict:
         """Fold every committed merge epoch the view hasn't seen.
-        Returns ``{"applied_epochs": [...], "version": K}``.  Pending
-        feeds are unioned first — one shuffle for the whole catch-up,
-        however many epochs are behind."""
+        Returns ``{"applied_epochs": [...], "version": K}``.
+
+        Per-epoch feeds become per-epoch deltas (their schemas may
+        differ across a schema-evolution boundary — a column a measure
+        reads may not exist in older feeds, so each epoch's delta is
+        built with typed-NULL fallbacks from the NEWEST feed's types),
+        and the DELTAS — identically-shaped by construction — are
+        unioned and re-summed into one combined delta: still a single
+        fold join for the whole catch-up, however many epochs behind."""
         ptr = self._pointer()
         pending = [
             ep for ep in self._merge_epochs(sink)
@@ -228,10 +251,20 @@ class IncrementalAggView:
         ]
         if not pending:
             return {"applied_epochs": [], "version": ptr["version"]}
-        feed = sink.changes(pending[0])
-        for ep in pending[1:]:
-            feed = feed.unionByName(sink.changes(ep))
-        delta = cdf_delta(feed, self.group_cols, self.measures)
+        feeds = [sink.changes(ep) for ep in pending]
+        types = self._column_types(feeds[-1])
+        deltas = [
+            cdf_delta(f, self.group_cols, self.measures,
+                      column_types=types)
+            for f in feeds
+        ]
+        delta = deltas[0]
+        for d in deltas[1:]:
+            delta = delta.unionByName(d)
+        if len(deltas) > 1:
+            delta = delta.groupBy(*self.group_cols).agg(
+                *[F.sum(k).alias(k) for k in self.measures]
+            )
         merged = fold_delta(self.state(), delta, self.group_cols,
                             list(self.measures), self.count_col)
         # detach from the state files the write below will replace
@@ -239,6 +272,60 @@ class IncrementalAggView:
         self._advance(merged, ptr["version"], pending[-1])
         return {"applied_epochs": pending,
                 "version": ptr["version"] + 1}
+
+    @staticmethod
+    def _column_types(feed: DataFrame) -> dict:
+        types = {f.name: f.dataType for f in feed.schema.fields
+                 if f.name != "_pre"}
+        if "_pre" in feed.columns:
+            for f in feed.schema["_pre"].dataType.fields:
+                types.setdefault(f.name, f.dataType)
+        return types
+
+    def bootstrap(self, sink) -> dict:
+        """Initialize (or re-base) the view with ONE direct aggregate
+        over the base table's live state, then go incremental from
+        there.  This is how a view starts on a table whose early feeds
+        AND the manifests needed to regenerate them have been
+        vacuum-pruned — folding from epoch 0 is impossible there by
+        design, and O(table)-once is the honest cost of joining late.
+        Pinned to the head version at entry, so a merge racing the
+        bootstrap lands in the next ``refresh``, not in a torn
+        snapshot."""
+        head = sink.manifest()["version"]
+        applied_through = -1
+        for v in sink._committed_versions():
+            if v == 0 or v > head:
+                continue
+            mv = sink.manifest(v)
+            ep = mv.get("epoch_id", -1)
+            if ep is not None and ep >= 0 and not mv.get("compaction"):
+                applied_through = max(applied_through, ep)
+        live = sink.read(version=head)
+
+        def post_col(name: str) -> Column:
+            return F.col(name)
+
+        state = live.groupBy(*self.group_cols).agg(
+            *[F.sum(m(post_col)).alias(k)
+              for k, m in self.measures.items()]
+        )
+        if self.count_col is not None:
+            state = state.filter(F.col(self.count_col) != 0)
+        state = state.localCheckpoint()
+        ptr = self._pointer()
+        nxt = ptr["version"] + 1
+        state.write.mode("overwrite").parquet(
+            os.path.join(self.path, f"state_v{nxt}")
+        )
+        self._write_pointer({"version": nxt,
+                             "applied_through_epoch": applied_through})
+        if ptr["version"]:
+            shutil.rmtree(
+                os.path.join(self.path, f"state_v{ptr['version']}"),
+                ignore_errors=True,
+            )
+        return {"version": nxt, "applied_through_epoch": applied_through}
 
     @staticmethod
     def _merge_epochs(sink) -> list[int]:

@@ -209,6 +209,69 @@ def test_stream_refresh_checkpoint_resume(spark, tmp_path):
     assert view._pointer()["version"] == v_after_first + 1
 
 
+def test_refresh_across_schema_evolution_boundary(spark, tmp_path):
+    """A measure reading a column that was ADDED mid-stream: epoch 0's
+    feed pre-dates `lines`, so its delta contributes typed NULLs
+    (sum-skipped — exactly the base table's all-null reading of
+    pre-evolution rows), while epoch 1's contributes values.  The
+    catch-up view must equal the direct aggregate over the evolved
+    live state."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx"),
+                           (2, "U", "r1", "b", "c2", "py", "yyy")]), 0)
+    b2 = _cl(spark, [(3, "U", "r1", "a", "c3", "py", "zzzz"),
+                     (4, "U", "r2", "c", "c4", "go", "w")]).withColumn(
+        "lines", F.lit(7).cast("bigint")
+    )
+    sink.merge(b2, 1)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), ["repo"],
+        {"total_lines": lambda c: c("lines")},
+    )
+    assert view.refresh(sink)["applied_epochs"] == [0, 1]
+    direct = sorted(
+        tuple(r) for r in sink.read()
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("lines").alias("total_lines"))
+        .collect()
+    )
+    assert _view_rows(view) == direct
+    # r1: a evolved (7), b pre-evolution (null) -> total 7, count 2
+    assert ("r1", 2, 7) in direct
+    # without the type hint, the unknown column raises clearly
+    with pytest.raises(ValueError, match="schema evolution"):
+        cdf_delta(sink.changes(0), ["repo"],
+                  {"total_lines": lambda c: c("lines")})
+
+
+def test_bootstrap_then_incremental(spark, tmp_path):
+    """A view joining late bootstraps from ONE direct scan of the live
+    state (the only honest option once early feeds/manifests are
+    vacuum-pruned), then folds subsequent epochs incrementally —
+    matching both a from-scratch fold and the direct aggregate."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "x" * 4),
+                           (2, "U", "r2", "b", "c2", "go", "y" * 6)]), 0)
+    sink.merge(_cl(spark, [(3, "D", "r2", "b", "c3", "go", "")]), 1)
+    late = IncrementalAggView(spark, str(tmp_path / "v"), ["repo"],
+                              dict(MEASURES))
+    boot = late.bootstrap(sink)
+    assert boot["applied_through_epoch"] == 1
+    assert _view_rows(late) == _direct(sink)
+    # nothing pending right after bootstrap
+    assert late.refresh(sink)["applied_epochs"] == []
+    # subsequent epochs fold incrementally on top of the bootstrap
+    sink.merge(_cl(spark, [(4, "U", "r2", "c", "c4", "go", "z" * 9),
+                           (5, "U", "r1", "a", "c5", "py", "x")]), 2)
+    assert late.refresh(sink)["applied_epochs"] == [2]
+    assert _view_rows(late) == _direct(sink)
+    scratch = IncrementalAggView(spark, str(tmp_path / "v2"), ["repo"],
+                                 dict(MEASURES))
+    scratch.refresh(sink)
+    assert _view_rows(late) == _view_rows(scratch)
+
+
 def test_fold_delta_drops_dead_groups_only_with_count(spark):
     delta = spark.createDataFrame(
         pd.DataFrame({"g": ["a", "b"], "n_rows": [0, 1],
