@@ -323,13 +323,18 @@ def cmd_compact(args) -> int:
 
 def cmd_vacuum(args) -> int:
     retain = getattr(args, "retain_versions", None)
-    if retain is not None and not getattr(args, "yes", False):
+    retain_changes = getattr(args, "retain_changes", None)
+    if (retain is not None or retain_changes is not None) \
+            and not getattr(args, "yes", False):
         # pruning manifests permanently gives up time travel / diff()
-        # to the pruned versions — demand an explicit --yes
+        # to the pruned versions (and pruned change-feed epochs can
+        # only be regenerated while their manifests survive) — demand
+        # an explicit --yes
         print(
-            "refusing: --retain-versions permanently removes older "
-            "snapshots (time travel and diff to them stop working). "
-            "Re-run with --yes to confirm.",
+            "refusing: --retain-versions/--retain-changes permanently "
+            "remove older snapshots or feed epochs (time travel, diff "
+            "and change-feed reads to them stop working; late views "
+            "must bootstrap()). Re-run with --yes to confirm.",
         )
         return 2
     cfg = load_config(args.config)
@@ -337,6 +342,7 @@ def cmd_vacuum(args) -> int:
     res = sink.vacuum(
         retain_versions=retain,
         min_age_seconds=args.min_age_seconds,
+        retain_changes=retain_changes,
     )
     print(f"vacuumed: {res}")
     spark.stop()
@@ -381,6 +387,9 @@ def main(argv=None) -> int:
             sp.add_argument("--retain-versions", type=int, default=None,
                             help="prune manifests older than the newest "
                                  "N versions (requires --yes)")
+            sp.add_argument("--retain-changes", type=int, default=None,
+                            help="keep only the newest N change-feed "
+                                 "epoch dirs (requires --yes)")
             sp.add_argument("--min-age-seconds", type=float, default=3600.0,
                             help="never delete files younger than this "
                                  "(in-flight commit guard)")

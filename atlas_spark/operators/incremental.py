@@ -251,7 +251,33 @@ class IncrementalAggView:
         ]
         if not pending:
             return {"applied_epochs": [], "version": ptr["version"]}
-        feeds = [sink.changes(ep) for ep in pending]
+        # merge epochs are dense (the replay runner numbers them
+        # sequentially), so a pending list that does NOT start right
+        # after the watermark means vacuum(retain_versions) pruned
+        # manifests of epochs this view never folded — without this
+        # check the view would fold only the surviving feeds and be
+        # SILENTLY WRONG
+        if pending[0] > ptr["applied_through_epoch"] + 1:
+            raise RuntimeError(
+                "view is behind the table's vacuumed manifest "
+                f"retention (folded through epoch "
+                f"{ptr['applied_through_epoch']}, earliest visible "
+                f"merge is epoch {pending[0]}): call bootstrap(sink) "
+                "to re-base from the live state, then refresh() "
+                "incrementally"
+            )
+        try:
+            feeds = [sink.changes(ep) for ep in pending]
+        except FileNotFoundError as e:
+            # the feed dir was vacuum-pruned AND the manifests needed
+            # to regenerate it are gone — incremental catch-up is
+            # impossible by design; the view must re-base
+            raise RuntimeError(
+                "view is behind the table's vacuumed feed/manifest "
+                f"retention (pending epochs {pending}): call "
+                "bootstrap(sink) to re-base from the live state, then "
+                "refresh() incrementally"
+            ) from e
         types = self._column_types(feeds[-1])
         deltas = [
             cdf_delta(f, self.group_cols, self.measures,

@@ -148,6 +148,21 @@ def test_cli_validate_config_exit_2_on_bad_ranges(tmp_path):
     assert "compact_every" in r.stderr
 
 
+def test_cli_vacuum_refuses_feed_retention_without_yes(capsys):
+    """--retain-changes (like --retain-versions) irreversibly prunes
+    feed epochs, so the CLI refuses without --yes — before any Spark
+    or config work."""
+    import argparse
+
+    from atlas_spark.cli import cmd_vacuum
+
+    args = argparse.Namespace(config="/nonexistent.toml",
+                              retain_versions=None, retain_changes=2,
+                              yes=False, min_age_seconds=3600.0)
+    assert cmd_vacuum(args) == 2
+    assert "bootstrap" in capsys.readouterr().out
+
+
 def test_emit_changes_config_wiring(tmp_path):
     """sink.emit_changes flows TOML → config → validation: MoR+emit is
     rejected at validate time (same contract the sink enforces), the

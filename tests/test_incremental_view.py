@@ -272,6 +272,28 @@ def test_bootstrap_then_incremental(spark, tmp_path):
     assert _view_rows(late) == _view_rows(scratch)
 
 
+def test_refresh_behind_vacuumed_retention_demands_bootstrap(spark, tmp_path):
+    """Once vacuum has pruned both the early feed dirs and the
+    manifests that could regenerate them, a behind view's refresh must
+    fail with explicit bootstrap guidance (silently wrong is not an
+    option), and bootstrap() must recover it."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    sink.merge(_cl(spark, [(2, "U", "r1", "b", "c2", "py", "yy")]), 1)
+    sink.merge(_cl(spark, [(3, "U", "r2", "c", "c3", "go", "zz")]), 2)
+    sink.vacuum(retain_versions=1, min_age_seconds=0.0,
+                retain_changes=1)
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["repo"],
+                              dict(MEASURES))
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        view.refresh(sink)
+    view.bootstrap(sink)
+    assert _view_rows(view) == _direct(sink)
+    sink.merge(_cl(spark, [(4, "D", "r2", "c", "c4", "go", "")]), 3)
+    assert view.refresh(sink)["applied_epochs"] == [3]
+    assert _view_rows(view) == _direct(sink)
+
+
 def test_fold_delta_drops_dead_groups_only_with_count(spark):
     delta = spark.createDataFrame(
         pd.DataFrame({"g": ["a", "b"], "n_rows": [0, 1],
