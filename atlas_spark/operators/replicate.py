@@ -1,0 +1,121 @@
+"""CDC fan-out: keep a replica table in sync from the change feed.
+
+The emitted feed (``emit_changes=True``) carries, per committed merge,
+everything needed to re-apply that merge somewhere else: post-image
+rows for I/U and the tombstone identity (key + seq) for D.  Replaying
+those rows as an ordinary changelog batch into a second LakehouseSink —
+same epoch ids, so the destination's own manifest fencing makes the
+sync idempotent and resumable — reconstructs the source table
+row-for-row WITHOUT ever scanning the source's data files.  This is
+the downstream half of classic CDC replication (Debezium topic →
+secondary store), and it doubles as the strongest completeness check
+on the feed itself: if the feed dropped or misclassified anything, the
+replica's state or its own re-emitted feed would diverge.
+
+Cost shape at scale: per epoch, one scan of that epoch's feed files +
+one ordinary merge into the replica — O(changed rows), never O(table).
+Replication lag is visible as the difference between source and
+replica merge-epoch watermarks (``pending`` in :func:`replicate`).
+
+Reference analog: the reference's export loop re-reads every matching
+source composition per sync (/root/reference/src/core/export/batch.rs);
+here the feed IS the transport.
+
+Contract boundary (found by the property suite): a D for a key that
+was NEVER live leaves the live state unchanged, so — exactly like
+Delta CDF for a no-op DELETE — no feed row is emitted and the replica
+does not receive that tombstone.  Feed-driven syncs still converge
+forever (a late-but-older upsert of that key changes nothing on the
+source, hence emits nothing, hence changes nothing on the replica);
+what is NOT supported is writing directly to a replica out-of-band and
+expecting source-local never-live tombstones to guard it.  Replicas
+are feed-maintained or they are not replicas.
+
+Likewise (same root: change is defined by content, and the oracle-
+gated classifier skips byte-identical re-upserts), a re-upsert of
+identical bytes at a higher seq advances ``seq`` on the source but
+emits nothing, so the replica's ``seq`` for that key can lag.  Content
+still converges forever through the feed: any later event either
+no-ops on the source too (and emits nothing) or wins there (and emits
+with its own seq, which the replica then adopts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# the changelog surface a merge consumes; evolved payload columns ride
+# along dynamically (mixed-schema batches union on the replica side
+# exactly as on the source)
+_BASE_COLS = ("seq", "op", "repo", "path", "commit", "lang", "content")
+
+
+def feed_to_changelog(changes):
+    """Project one epoch's change feed back into changelog-batch shape:
+    I/U rows become op="U" upserts of the post image, D rows become
+    op="D" tombstone writes at the tombstone's seq (deletes keep their
+    seq in this engine, so late-but-older upserts stay dead on the
+    replica too).  Pre-image/bookkeeping columns are dropped."""
+    skip = {"_change", "_pre", "_pre_content_sha256", "_pre_seq",
+            "is_deleted", "content_sha256", "epoch"}
+    extra = [c for c in changes.columns
+             if c not in skip and c not in _BASE_COLS]
+    return changes.select(
+        F.col("seq"),
+        F.when(F.col("_change") == "D", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        "repo", "path", "commit", "lang", "content",
+        *extra,
+    )
+
+
+def replicate(src, dst) -> dict:
+    """Apply every source merge epoch the replica hasn't committed,
+    oldest first, each as an ordinary epoch-fenced merge.  Idempotent
+    (re-delivered epochs fence to no-ops on the replica's own
+    manifest) and crash-resumable (a killed sync resumes at the first
+    unfenced epoch).  Raises with bootstrap-style guidance if the
+    source's retention has already pruned feeds the replica never saw
+    — a silently incomplete replica is not an option."""
+    src_eps = _merge_epochs(src)
+    dst_eps = set(_merge_epochs(dst))
+    pending = [ep for ep in src_eps if ep not in dst_eps]
+    # merge epochs are dense, so the pending list must be exactly the
+    # next consecutive run after the replica's watermark — anything
+    # else means vacuum(retain_versions) pruned source manifests of
+    # epochs the replica never saw, and applying only the survivors
+    # would build a SILENTLY incomplete replica
+    expected = max(dst_eps) + 1 if dst_eps else 0
+    if pending != list(range(expected, expected + len(pending))):
+        raise RuntimeError(
+            "replica is behind the source's vacuumed feed/manifest "
+            f"retention (replica watermark {expected - 1}, visible "
+            f"source epochs {pending}): re-seed the replica from a "
+            "full source read instead"
+        )
+    applied = []
+    for ep in pending:
+        try:
+            feed = src.changes(ep)
+        except FileNotFoundError as e:
+            raise RuntimeError(
+                f"replica is behind the source's vacuumed feed/manifest "
+                f"retention (epoch {ep} unrecoverable): re-seed the "
+                "replica from a full source read instead"
+            ) from e
+        dst.merge(feed_to_changelog(feed), ep)
+        applied.append(ep)
+    return {"applied_epochs": applied,
+            "replica_head_epoch": max(src_eps) if src_eps else -1}
+
+
+def _merge_epochs(sink) -> list[int]:
+    eps = set()
+    for v in sink._committed_versions():
+        if v == 0:
+            continue
+        mv = sink.manifest(v)
+        ep = mv.get("epoch_id", -1)
+        if ep is not None and ep >= 0 and not mv.get("compaction"):
+            eps.add(ep)
+    return sorted(eps)
