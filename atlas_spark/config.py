@@ -60,6 +60,12 @@ class SinkConfig:
                 "sink.emit_changes requires merge_mode=cow "
                 "(a MoR merge never reads pre-state; use diff())"
             )
+        if self.emit_changes and self.format != "lakehouse":
+            errs.append(
+                "sink.emit_changes requires format=lakehouse (the "
+                "Iceberg sink delegates CDF to the catalog's own "
+                "changelog scan; the flag would be silently ignored)"
+            )
         for d in self.declared_columns:
             if ":" not in d:
                 errs.append(

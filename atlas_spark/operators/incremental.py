@@ -103,14 +103,24 @@ def cdf_delta(changes: DataFrame, group_cols: list[str],
             "— pass column_types so it can contribute a typed NULL"
         )
 
+    from ..sinks.lakehouse import KEY_COLS
+
     def post_col(name: str) -> Column:
         return F.col(name) if name in top else _null(name)
 
     def pre_col(name: str) -> Column:
         if name in pre_fields:
             return F.col(f"{preimage_col}.{name}")
-        # key columns are identical pre/post and live only top-level
-        return F.col(name) if name in top else _null(name)
+        # ONLY key columns may fall through to the top level (they are
+        # identical pre/post and never live in the struct).  A non-key
+        # column missing from `_pre` means this feed's pre-state
+        # pre-dates the column (e.g. a feed REGENERATED across an
+        # evolution boundary reads the old snapshot with its old
+        # schema) — its pre-image value is NULL, and falling back to
+        # the POST value would silently retract the wrong amount.
+        if name in KEY_COLS and name in top:
+            return F.col(name)
+        return _null(name)
 
     # ONE scan of the feed: each change row explodes into its signed
     # contributions (post-image + for I/U, negated pre-image − for
@@ -149,11 +159,20 @@ def fold_delta(state: DataFrame | None, delta: DataFrame,
         merged = delta
     else:
         s = state.select(
-            *group_cols,
+            *[F.col(g).alias(f"_s_{g}") for g in group_cols],
             *[F.col(c).alias(f"_s_{c}") for c in measure_cols],
         )
-        merged = s.join(delta, group_cols, "full_outer").select(
-            *group_cols,
+        # eqNullSafe per group column: a NULL group value is a real
+        # group (e.g. a nullable lang) — a null-unsafe join would
+        # never merge it and the view would accumulate phantom
+        # (NULL, +x)/(NULL, -x) row pairs forever
+        cond = None
+        for g in group_cols:
+            c = F.col(f"_s_{g}").eqNullSafe(F.col(g))
+            cond = c if cond is None else (cond & c)
+        merged = s.join(delta, cond, "full_outer").select(
+            *[F.coalesce(F.col(g), F.col(f"_s_{g}")).alias(g)
+              for g in group_cols],
             *[
                 (F.coalesce(F.col(f"_s_{c}"), F.lit(0))
                  + F.coalesce(F.col(c), F.lit(0))).alias(c)
@@ -229,8 +248,13 @@ class IncrementalAggView:
         if applied_through is not None:
             ptr["applied_through_epoch"] = applied_through
         self._write_pointer(ptr)
-        old = os.path.join(self.path, f"state_v{prev_version}")
-        shutil.rmtree(old, ignore_errors=True)
+        # drop every non-current state dir, not just the immediate
+        # predecessor: a crash between the pointer write and this
+        # cleanup leaves an orphan that would otherwise live forever
+        import glob as _glob
+        for d in _glob.glob(os.path.join(self.path, "state_v*")):
+            if os.path.basename(d) != f"state_v{nxt}":
+                shutil.rmtree(d, ignore_errors=True)
 
     # ---------------------------------------------------------- refresh
     def refresh(self, sink) -> dict:
@@ -375,20 +399,46 @@ class IncrementalAggView:
         ``processingTime="10 seconds"`` for a long-lived view."""
         if not trigger:
             trigger = {"availableNow": True}
-
-        def _fold(batch: DataFrame, _bid: int) -> None:
-            if not batch.isEmpty():
-                delta = cdf_delta(batch, self.group_cols, self.measures)
-                merged = fold_delta(
-                    self.state(), delta, self.group_cols,
-                    list(self.measures), self.count_col,
-                ).localCheckpoint()
-                self._advance(merged, self._pointer()["version"], None)
-
         return (
             sink.changes_stream()
-            .writeStream.foreachBatch(_fold)
+            .writeStream.foreachBatch(
+                lambda batch, bid:
+                self._apply_stream_batch(batch, bid, checkpoint)
+            )
             .option("checkpointLocation", checkpoint)
             .trigger(**trigger)
             .start()
         )
+
+    def _apply_stream_batch(self, batch: DataFrame, bid: int,
+                            checkpoint: str) -> None:
+        """One micro-batch fold.  foreachBatch is AT-LEAST-once: a
+        crash after the fold but before the stream checkpoint commits
+        re-delivers the same batchId on restart — re-folding it would
+        double-apply the delta.  The view pointer records
+        (checkpoint, batchId) of the last applied fold, and the pointer
+        write (one atomic rename) adopts the new state AND the batch id
+        together, so the fold is idempotent per redelivered batch."""
+        ptr = self._pointer()
+        if (ptr.get("stream_ckpt") == checkpoint
+                and bid <= ptr.get("stream_batch_id", -1)):
+            return
+        if not batch.isEmpty():
+            delta = cdf_delta(batch, self.group_cols, self.measures)
+            merged = fold_delta(
+                self.state(), delta, self.group_cols,
+                list(self.measures), self.count_col,
+            ).localCheckpoint()
+            nxt = ptr["version"] + 1
+            merged.write.mode("overwrite").parquet(
+                os.path.join(self.path, f"state_v{nxt}")
+            )
+            ptr["version"] = nxt
+        ptr["stream_ckpt"] = checkpoint
+        ptr["stream_batch_id"] = bid
+        self._write_pointer(ptr)
+        import glob as _glob
+        keep = f"state_v{ptr['version']}"
+        for d in _glob.glob(os.path.join(self.path, "state_v*")):
+            if os.path.basename(d) != keep:
+                shutil.rmtree(d, ignore_errors=True)

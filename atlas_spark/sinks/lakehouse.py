@@ -1426,6 +1426,15 @@ class LakehouseSink(Sink):
         ordering, /root/reference/src/core/export/batch.rs:337-353)."""
         rel = f"_changes/epoch={epoch_id:06d}"
         if not os.path.exists(os.path.join(self.root, rel, "_SUCCESS")):
+            if epoch_id <= self._changes_retention():
+                # deliberately vacuumed (retain_changes), not crash-
+                # lost: resurrecting it would silently undo the
+                # retention every time a consumer touched an old epoch
+                raise FileNotFoundError(
+                    f"epoch {epoch_id} change feed was pruned by "
+                    "vacuum(retain_changes) — regenerate is refused; "
+                    "late consumers should re-base (bootstrap/re-seed)"
+                )
             v = self._version_of_epoch(epoch_id)
             if v is None:
                 raise FileNotFoundError(
@@ -1478,6 +1487,7 @@ class LakehouseSink(Sink):
         runner calls this on resume when ``emit_changes`` is set, so a
         resumed replay always leaves a gap-free feed."""
         repaired: list[int] = []
+        retention = self._changes_retention()
         for v in self._committed_versions():
             if v == 0:
                 continue
@@ -1485,10 +1495,23 @@ class LakehouseSink(Sink):
             ep = mv.get("epoch_id", -1)
             if ep is None or ep < 0 or mv.get("compaction"):
                 continue
+            if ep <= retention:
+                # vacuumed on purpose — repairing it on every resume
+                # would undo retain_changes forever
+                continue
             ok = os.path.join(
                 self.root, f"_changes/epoch={ep:06d}", "_SUCCESS"
             )
             if not os.path.exists(ok):
+                try:
+                    self.manifest(v - 1)
+                except FileNotFoundError:
+                    # parent manifest pruned (retain_versions deeper
+                    # than retain_changes): regeneration is impossible
+                    # by design, and this is a retention artifact, not
+                    # a crash gap — consumers of that epoch get the
+                    # refusal from changes() instead
+                    continue
                 self._regenerate_epoch_changes(v, ep)
                 repaired.append(ep)
         return repaired
@@ -1656,29 +1679,50 @@ class LakehouseSink(Sink):
 
         changes_pruned = 0
         changes_root = os.path.join(self.root, "_changes")
-        if retain_changes is not None and os.path.isdir(changes_root):
+        if retain_changes is not None:
             assert retain_changes >= 0
-            import shutil
+            if listing == "store" and self.data_plane is not None:
+                # object-store deployment: the feed prune must ride
+                # the same LIST+DELETE plane as the data sweep — an
+                # os.listdir would silently no-op on a real object
+                # store and the feed would grow without bound exactly
+                # where it matters
+                changes_pruned, pruned_through = \
+                    self._prune_changes_via_store(
+                        retain_changes, min_age_seconds, now
+                    )
+                if pruned_through is not None and os.path.isdir(self.root):
+                    self._record_changes_retention(pruned_through)
+            elif os.path.isdir(changes_root):
+                import shutil
 
-            eps = sorted(
-                e for e in os.listdir(changes_root)
-                if e.startswith("epoch=")
-                and os.path.isdir(os.path.join(changes_root, e))
-            )
-            drop = eps[:len(eps) - retain_changes] if retain_changes else eps
-            for e in drop:
-                d = os.path.join(changes_root, e)
-                newest = max(
-                    (os.path.getmtime(os.path.join(d, f))
-                     for f in os.listdir(d)),
-                    default=0.0,
+                eps = sorted(
+                    e for e in os.listdir(changes_root)
+                    if e.startswith("epoch=")
+                    and os.path.isdir(os.path.join(changes_root, e))
                 )
-                # same in-flight guard as data files: a feed being
-                # written right now must survive
-                if now - newest < min_age_seconds:
-                    continue
-                shutil.rmtree(d, ignore_errors=True)
-                changes_pruned += 1
+                # clamp: retain_changes larger than the epoch count
+                # must keep everything (an unclamped negative slice
+                # silently dropped the OLDEST feeds)
+                drop = (eps[:max(0, len(eps) - retain_changes)]
+                        if retain_changes else eps)
+                pruned_through = None
+                for e in drop:
+                    d = os.path.join(changes_root, e)
+                    newest = max(
+                        (os.path.getmtime(os.path.join(d, f))
+                         for f in os.listdir(d)),
+                        default=0.0,
+                    )
+                    # same in-flight guard as data files: a feed being
+                    # written right now must survive
+                    if now - newest < min_age_seconds:
+                        continue
+                    shutil.rmtree(d, ignore_errors=True)
+                    changes_pruned += 1
+                    pruned_through = int(e.split("=")[1])
+                if pruned_through is not None:
+                    self._record_changes_retention(pruned_through)
         return {
             "data_files_removed": removed,
             "data_files_kept_young": kept_young,
@@ -1687,6 +1731,61 @@ class LakehouseSink(Sink):
             "changes_pruned": changes_pruned,
             "listing": listing,
         }
+
+    def _record_changes_retention(self, pruned_through: int) -> None:
+        """Durably record the deliberate feed-prune boundary
+        (``_changes/_RETENTION``): epochs at or below it were VACUUMED,
+        not crash-lost, so ``changes()`` must refuse them (instead of
+        resurrecting them from snapshots) and ``backfill_changes()``
+        must not undo the vacuum on every resume."""
+        import json as _json
+
+        cur = self._changes_retention()
+        pruned_through = max(pruned_through, cur)
+        tmp = os.path.join(self.root, "_changes", "_RETENTION.tmp")
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        with open(tmp, "w") as f:
+            _json.dump({"pruned_through_epoch": pruned_through}, f)
+        os.replace(tmp, os.path.join(self.root, "_changes", "_RETENTION"))
+
+    def _changes_retention(self) -> int:
+        import json as _json
+
+        p = os.path.join(self.root, "_changes", "_RETENTION")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return int(_json.load(f)["pruned_through_epoch"])
+
+    def _prune_changes_via_store(self, retain_changes: int,
+                                 min_age_seconds: float,
+                                 now: float) -> tuple[int, int | None]:
+        """Feed retention over the object-store data plane: LIST the
+        ``_changes/`` epoch prefixes, delete the oldest beyond the
+        retention count (same clamp + in-flight age guard as the FS
+        path).  Returns ``(pruned, highest pruned epoch id)``; the
+        caller records the retention boundary when the read surface
+        (a shared/cluster filesystem) is reachable — on a pure object
+        store wire the marker through that surface at bring-up."""
+        dp = self.data_plane
+        eps = sorted(
+            d for d in dp.list_dirs("_changes/")
+            if d.rsplit("/", 1)[-1].startswith("epoch=")
+        )
+        drop = (eps[:max(0, len(eps) - retain_changes)]
+                if retain_changes else eps)
+        pruned, pruned_through = 0, None
+        for prefix in drop:
+            files = dp.list_files(prefix + "/")
+            if not files:
+                continue
+            newest = max(mt for _r, mt in files)
+            if now - newest < min_age_seconds:
+                continue
+            dp.delete_files([r for r, _mt in files])
+            pruned += 1
+            pruned_through = int(prefix.rsplit("=", 1)[1])
+        return pruned, pruned_through
 
     def _vacuum_via_store(self, referenced: set[str],
                           min_age_seconds: float,

@@ -199,10 +199,17 @@ def test_vacuum_retain_changes_prunes_old_feeds(spark, tmp_path):
         sink.merge(
             _df(spark, [[e + 1, "U", "r", "a", f"c{e}", "py", f"v{e}"]]), e
         )
-    feeds = lambda: sorted(os.listdir(os.path.join(root, "_changes")))  # noqa: E731
+    feeds = lambda: sorted(  # noqa: E731
+        e for e in os.listdir(os.path.join(root, "_changes"))
+        if e.startswith("epoch=")
+    )
     assert len(feeds()) == 4
     # young feeds are protected by the in-flight guard
     out = sink.vacuum(retain_changes=1)  # default 1 h min age
+    assert out["changes_pruned"] == 0 and len(feeds()) == 4
+    # retention larger than the epoch count keeps EVERYTHING (the
+    # unclamped negative slice used to delete the oldest feeds)
+    out = sink.vacuum(retain_changes=9, min_age_seconds=0)
     assert out["changes_pruned"] == 0 and len(feeds()) == 4
     out = sink.vacuum(retain_changes=2, min_age_seconds=0)
     assert out["changes_pruned"] == 2
@@ -211,3 +218,76 @@ def test_vacuum_retain_changes_prunes_old_feeds(spark, tmp_path):
     assert len(_feed_rows(sink, 3)) == 1
     assert sink.vacuum(retain_changes=2,
                        min_age_seconds=0)["changes_pruned"] == 0
+    # a deliberately pruned feed is REFUSED, not resurrected from
+    # snapshots (that would silently undo the retention), and the
+    # resume-path sweep honors the same boundary
+    with pytest.raises(FileNotFoundError, match="pruned"):
+        sink.changes(0)
+    assert sink.backfill_changes() == []
+    assert feeds() == ["epoch=000002", "epoch=000003"]
+
+
+def test_feed_prune_via_store_plane_matches_driver(spark, tmp_path):
+    """The feed prune must ride the object-store data plane under
+    ``listing="store"`` (an os.listdir would silently no-op on a real
+    object store): same surviving epoch dirs as the FS path, and the
+    retention boundary is recorded so pruned epochs stay refused."""
+    import functools
+    import shutil as _sh
+
+    from atlas_spark.sinks.commit_store import DirS3Client, S3DataPlane
+
+    a_root, c_root = str(tmp_path / "a"), str(tmp_path / "c")
+    a = LakehouseSink(spark, a_root, n_buckets=2, emit_changes=True)
+    a.ensure()
+    for e in range(4):
+        a.merge(
+            _df(spark, [[e + 1, "U", "r", "x", f"c{e}", "py", f"v{e}"]]), e
+        )
+    _sh.copytree(a_root, c_root)
+    plane = S3DataPlane(
+        "bucket", "",
+        client_factory=functools.partial(DirS3Client, c_root, 3),
+    )
+    c = LakehouseSink(spark, c_root, n_buckets=2, emit_changes=True,
+                      data_plane=plane)
+    ra = a.vacuum(retain_changes=2, min_age_seconds=0, listing="driver")
+    rc = c.vacuum(retain_changes=2, min_age_seconds=0, listing="store")
+    assert ra["changes_pruned"] == rc["changes_pruned"] == 2
+
+    def eps(root):
+        return sorted(
+            e for e in os.listdir(os.path.join(root, "_changes"))
+            if e.startswith("epoch=")
+        )
+
+    assert eps(a_root) == eps(c_root) == ["epoch=000002", "epoch=000003"]
+    for s in (a, c):
+        with pytest.raises(FileNotFoundError, match="pruned"):
+            s.changes(1)
+        assert s.backfill_changes() == []
+
+
+def test_backfill_skips_unregenerable_epoch_above_retention(spark, tmp_path):
+    """A feed lost ABOVE the retention boundary whose parent manifest
+    was pruned by retain_versions cannot be regenerated by design —
+    backfill must skip it (retention artifact) instead of crashing the
+    resume path, and changes() reports it unrecoverable."""
+    import shutil as _sh
+
+    root = str(tmp_path / "t")
+    sink = LakehouseSink(spark, root, n_buckets=2, emit_changes=True)
+    sink.ensure()
+    for e in range(3):
+        sink.merge(
+            _df(spark, [[e + 1, "U", "r", "y", f"c{e}", "py", f"v{e}"]]), e
+        )
+    # prune manifests only (no feed retention marker), then lose the
+    # oldest feed out-of-band
+    sink.vacuum(retain_versions=1, min_age_seconds=0)
+    _sh.rmtree(os.path.join(root, "_changes/epoch=000000"))
+    assert sink.backfill_changes() == []  # skip, not crash
+    with pytest.raises(FileNotFoundError):
+        sink.changes(0)
+    # the newest feed still reads
+    assert len(_feed_rows(sink, 2)) == 1

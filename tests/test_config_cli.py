@@ -191,3 +191,15 @@ def test_emit_changes_config_wiring(tmp_path):
     )
     errs = load_config(str(bad)).validate()
     assert any("emit_changes requires merge_mode=cow" in e for e in errs)
+
+    # emit_changes on the Iceberg sink would be silently ignored (the
+    # CLI only wires it into the LakehouseSink branch) — reject at
+    # validate time instead
+    ice = tmp_path / "ice.toml"
+    ice.write_text(
+        '[source]\nchangelog_dir = "/x"\n'
+        '[sink]\ntable_root = "/t"\nformat = "iceberg"\n'
+        "emit_changes = true\n"
+    )
+    errs = load_config(str(ice)).validate()
+    assert any("requires format=lakehouse" in e for e in errs)

@@ -294,6 +294,98 @@ def test_refresh_behind_vacuumed_retention_demands_bootstrap(spark, tmp_path):
     assert _view_rows(view) == _direct(sink)
 
 
+def test_refresh_on_regenerated_feed_across_evolution(spark, tmp_path):
+    """A feed REGENERATED across an evolution boundary reads the old
+    snapshot with its old schema, so its `_pre` struct lacks the new
+    column.  The pre-image accessor must yield NULL there — falling
+    back to the top-level POST value would retract the wrong amount."""
+    import shutil as _sh
+
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    b2 = _cl(spark, [(2, "U", "r1", "a", "c2", "py", "yyy"),
+                     (3, "U", "r1", "b", "c3", "py", "z")]).withColumn(
+        "lines", F.lit(7).cast("bigint")
+    )
+    sink.merge(b2, 1)
+    # lose epoch 1's emitted feed; changes() regenerates it from the
+    # (v0 old-schema, v1 new-schema) snapshot pair
+    _sh.rmtree(os.path.join(sink.root, "_changes/epoch=000001"))
+    regen = sink.changes(1)
+    assert "lines" not in {
+        f.name for f in regen.schema["_pre"].dataType.fields
+    }
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), ["repo"],
+        {"total_lines": lambda c: c("lines")},
+    )
+    view.refresh(sink)
+    direct = sorted(
+        tuple(r) for r in sink.read()
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("lines").alias("total_lines"))
+        .collect()
+    )
+    assert _view_rows(view) == direct == [("r1", 2, 14)]
+
+
+def test_stream_batch_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-folded
+    batchId (crash between the view fold and the stream checkpoint
+    commit) must NOT double-apply the delta; a NEW batch id on the
+    same checkpoint still folds."""
+    sink = _sink(spark, tmp_path)
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["repo"],
+                              dict(MEASURES))
+    ckpt = str(tmp_path / "ck")
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    q = view.stream_refresh(sink, ckpt)
+    q.awaitTermination(120)
+    before = _view_rows(view)
+    assert before == _direct(sink)
+    # simulate the redelivery: same checkpoint, same (or older) bid
+    batch = sink.changes(0)
+    view._apply_stream_batch(batch, 0, ckpt)
+    assert _view_rows(view) == before  # no double fold
+    # a genuinely new batch id folds
+    sink.merge(_cl(spark, [(2, "U", "r2", "b", "c2", "py", "yyy")]), 1)
+    view._apply_stream_batch(sink.changes(1), 1, ckpt)
+    assert _view_rows(view) == _direct(sink)
+
+
+def test_null_group_values_merge_in_fold(spark, tmp_path):
+    """A NULL grouping value is a real group: the state/delta fold
+    must merge it (eqNullSafe), not accumulate phantom row pairs."""
+    sink = _sink(spark, tmp_path)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"),
+        ["grp"], dict(MEASURES),
+    )
+    # group expression: NULL for repo r1 (nullable group column)
+    view.group_cols = ["grp"]
+    b1 = _cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx"),
+                     (2, "U", "r2", "b", "c2", "go", "yyy")])
+    def rows():
+        return sorted(
+            (tuple(r) for r in view.state().collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    sink.merge(b1.withColumn(
+        "grp", F.when(F.col("repo") != "r1", F.col("repo"))), 0)
+    view.refresh(sink)
+    assert (None, 1, 2) in rows()
+    # delete the NULL-group row in a later epoch: the retraction must
+    # land on the SAME null group and drop it
+    sink.merge(_cl(spark, [(3, "D", "r1", "a", "c3", "py", "")])
+               .withColumn("grp", F.lit(None).cast("string")), 1)
+    view.refresh(sink)
+    got = rows()
+    assert all(r[0] is not None for r in got), got
+    assert got == [("r2", 1, 3)]
+
+
 def test_fold_delta_drops_dead_groups_only_with_count(spark):
     delta = spark.createDataFrame(
         pd.DataFrame({"g": ["a", "b"], "n_rows": [0, 1],

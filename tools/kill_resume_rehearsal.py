@@ -157,9 +157,14 @@ def main() -> None:
         if emit:
             # gap-free + diff-equal change feed for EVERY committed
             # merge version, whatever window the SIGKILL landed in
-            missing = ksink.backfill_changes()  # must be a no-op:
-            # the resumed CLI replay already repaired any gap
+            missing = ksink.backfill_changes()
             out["feed_backfilled_after_resume"] = missing
+            if missing:
+                # the resumed CLI replay is REQUIRED to have repaired
+                # any commit→emit gap itself — if our own sweep found
+                # one, the runner's resume repair is broken, which is
+                # the exact regression this rehearsal exists to catch
+                feed_ok = False
             checked = 0
             head = ksink.manifest()["version"]
             for v in range(1, head + 1):
@@ -170,8 +175,9 @@ def main() -> None:
                 emitted = ksink.changes(ep).drop(
                     "_pre_content_sha256", "_pre_seq"
                 )
-                delta = emitted.exceptAll(ksink.diff(v - 1, v)).count() \
-                    + ksink.diff(v - 1, v).exceptAll(emitted).count()
+                d = ksink.diff(v - 1, v).localCheckpoint()
+                delta = emitted.exceptAll(d).count() \
+                    + d.exceptAll(emitted).count()
                 if delta:
                     feed_ok = False
                 checked += 1
