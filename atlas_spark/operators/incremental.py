@@ -248,13 +248,7 @@ class IncrementalAggView:
         if applied_through is not None:
             ptr["applied_through_epoch"] = applied_through
         self._write_pointer(ptr)
-        # drop every non-current state dir, not just the immediate
-        # predecessor: a crash between the pointer write and this
-        # cleanup leaves an orphan that would otherwise live forever
-        import glob as _glob
-        for d in _glob.glob(os.path.join(self.path, "state_v*")):
-            if os.path.basename(d) != f"state_v{nxt}":
-                shutil.rmtree(d, ignore_errors=True)
+        self._gc_state_dirs(nxt)
 
     # ---------------------------------------------------------- refresh
     def refresh(self, sink) -> dict:
@@ -370,24 +364,21 @@ class IncrementalAggView:
         )
         self._write_pointer({"version": nxt,
                              "applied_through_epoch": applied_through})
-        if ptr["version"]:
-            shutil.rmtree(
-                os.path.join(self.path, f"state_v{ptr['version']}"),
-                ignore_errors=True,
-            )
+        self._gc_state_dirs(nxt)
         return {"version": nxt, "applied_through_epoch": applied_through}
 
     @staticmethod
     def _merge_epochs(sink) -> list[int]:
-        eps = []
-        for v in sink._committed_versions():
-            if v == 0:
-                continue
-            mv = sink.manifest(v)
-            ep = mv.get("epoch_id", -1)
-            if ep is not None and ep >= 0 and not mv.get("compaction"):
-                eps.append(ep)
-        return sorted(set(eps))
+        return sink.merge_epochs()
+
+    def _gc_state_dirs(self, keep_version: int) -> None:
+        """Drop every non-current state dir — including orphans a
+        crash left between a pointer write and its cleanup."""
+        import glob as _glob
+        keep = f"state_v{keep_version}"
+        for d in _glob.glob(os.path.join(self.path, "state_v*")):
+            if os.path.basename(d) != keep:
+                shutil.rmtree(d, ignore_errors=True)
 
     # ---------------------------------------------------- streaming
     def stream_refresh(self, sink, checkpoint: str, **trigger):
@@ -399,13 +390,17 @@ class IncrementalAggView:
         ``processingTime="10 seconds"`` for a long-lived view."""
         if not trigger:
             trigger = {"availableNow": True}
+        # normalize: the redelivery guard compares checkpoints, and a
+        # restart that spells the same dir differently ("ckpt" vs
+        # "./ckpt") must still be recognized as the same stream
+        ckpt = os.path.abspath(checkpoint)
         return (
             sink.changes_stream()
             .writeStream.foreachBatch(
                 lambda batch, bid:
-                self._apply_stream_batch(batch, bid, checkpoint)
+                self._apply_stream_batch(batch, bid, ckpt)
             )
-            .option("checkpointLocation", checkpoint)
+            .option("checkpointLocation", ckpt)
             .trigger(**trigger)
             .start()
         )
@@ -419,6 +414,7 @@ class IncrementalAggView:
         (checkpoint, batchId) of the last applied fold, and the pointer
         write (one atomic rename) adopts the new state AND the batch id
         together, so the fold is idempotent per redelivered batch."""
+        checkpoint = os.path.abspath(checkpoint)
         ptr = self._pointer()
         if (ptr.get("stream_ckpt") == checkpoint
                 and bid <= ptr.get("stream_batch_id", -1)):
@@ -437,8 +433,4 @@ class IncrementalAggView:
         ptr["stream_ckpt"] = checkpoint
         ptr["stream_batch_id"] = bid
         self._write_pointer(ptr)
-        import glob as _glob
-        keep = f"state_v{ptr['version']}"
-        for d in _glob.glob(os.path.join(self.path, "state_v*")):
-            if os.path.basename(d) != keep:
-                shutil.rmtree(d, ignore_errors=True)
+        self._gc_state_dirs(ptr["version"])

@@ -77,19 +77,27 @@ def replicate(src, dst) -> dict:
     unfenced epoch).  Raises with bootstrap-style guidance if the
     source's retention has already pruned feeds the replica never saw
     — a silently incomplete replica is not an option."""
-    src_eps = _merge_epochs(src)
-    dst_eps = set(_merge_epochs(dst))
-    pending = [ep for ep in src_eps if ep not in dst_eps]
+    src_eps = src.merge_epochs()
+    # the replica's watermark is its HEAD manifest's epoch id — NOT
+    # the set of surviving replica manifests: pruning the replica's
+    # own old manifests (dst.vacuum(retain_versions)) must not make a
+    # current replica look behind forever (review r07).  The head
+    # manifest always survives retention, and compaction versions
+    # inherit the last merge's epoch.
+    head_ep = dst.manifest().get("epoch_id", -1)
+    if head_ep is None:
+        head_ep = -1
+    pending = [ep for ep in src_eps if ep > head_ep]
     # merge epochs are dense, so the pending list must be exactly the
     # next consecutive run after the replica's watermark — anything
     # else means vacuum(retain_versions) pruned source manifests of
     # epochs the replica never saw, and applying only the survivors
     # would build a SILENTLY incomplete replica
-    expected = max(dst_eps) + 1 if dst_eps else 0
+    expected = head_ep + 1
     if pending != list(range(expected, expected + len(pending))):
         raise RuntimeError(
             "replica is behind the source's vacuumed feed/manifest "
-            f"retention (replica watermark {expected - 1}, visible "
+            f"retention (replica watermark {head_ep}, visible "
             f"source epochs {pending}): re-seed the replica from a "
             "full source read instead"
         )
@@ -107,15 +115,3 @@ def replicate(src, dst) -> dict:
         applied.append(ep)
     return {"applied_epochs": applied,
             "replica_head_epoch": max(src_eps) if src_eps else -1}
-
-
-def _merge_epochs(sink) -> list[int]:
-    eps = set()
-    for v in sink._committed_versions():
-        if v == 0:
-            continue
-        mv = sink.manifest(v)
-        ep = mv.get("epoch_id", -1)
-        if ep is not None and ep >= 0 and not mv.get("compaction"):
-            eps.add(ep)
-    return sorted(eps)

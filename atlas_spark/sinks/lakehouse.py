@@ -1450,6 +1450,22 @@ class LakehouseSink(Sink):
             if n.startswith("manifest.")
         )
 
+    def merge_epochs(self) -> list[int]:
+        """Epoch ids of every committed MERGE visible in the retained
+        manifest log (compaction versions inherit the last merge's
+        epoch and are skipped).  The single source of truth for
+        feed consumers — the incremental view's and the replica's
+        pending-epoch enumeration both key off this."""
+        eps = set()
+        for v in self._committed_versions():
+            if v == 0:
+                continue
+            mv = self.manifest(v)
+            ep = mv.get("epoch_id", -1)
+            if ep is not None and ep >= 0 and not mv.get("compaction"):
+                eps.add(ep)
+        return sorted(eps)
+
     def _version_of_epoch(self, epoch_id: int) -> int | None:
         """The MERGE version that committed ``epoch_id`` (compaction
         versions inherit the epoch_id of the last merge and are
@@ -1691,7 +1707,7 @@ class LakehouseSink(Sink):
                     self._prune_changes_via_store(
                         retain_changes, min_age_seconds, now
                     )
-                if pruned_through is not None and os.path.isdir(self.root):
+                if pruned_through is not None:
                     self._record_changes_retention(pruned_through)
             elif os.path.isdir(changes_root):
                 import shutil
@@ -1715,9 +1731,14 @@ class LakehouseSink(Sink):
                         default=0.0,
                     )
                     # same in-flight guard as data files: a feed being
-                    # written right now must survive
+                    # written right now must survive — and the prune
+                    # STOPS here (oldest-first), because the retention
+                    # marker must never cover an epoch that was not
+                    # actually deleted (a skipped in-flight feed that
+                    # then crashes before _SUCCESS must stay
+                    # repairable, not be misread as vacuumed)
                     if now - newest < min_age_seconds:
-                        continue
+                        break
                     shutil.rmtree(d, ignore_errors=True)
                     changes_pruned += 1
                     pruned_through = int(e.split("=")[1])
@@ -1733,29 +1754,26 @@ class LakehouseSink(Sink):
         }
 
     def _record_changes_retention(self, pruned_through: int) -> None:
-        """Durably record the deliberate feed-prune boundary
-        (``_changes/_RETENTION``): epochs at or below it were VACUUMED,
-        not crash-lost, so ``changes()`` must refuse them (instead of
-        resurrecting them from snapshots) and ``backfill_changes()``
-        must not undo the vacuum on every resume."""
-        import json as _json
-
-        cur = self._changes_retention()
-        pruned_through = max(pruned_through, cur)
-        tmp = os.path.join(self.root, "_changes", "_RETENTION.tmp")
-        os.makedirs(os.path.dirname(tmp), exist_ok=True)
-        with open(tmp, "w") as f:
-            _json.dump({"pruned_through_epoch": pruned_through}, f)
-        os.replace(tmp, os.path.join(self.root, "_changes", "_RETENTION"))
+        """Durably record the deliberate feed-prune boundary as a
+        COMMIT-STORE object (``changes_retention.<epoch>``): epochs at
+        or below the max such marker were VACUUMED, not crash-lost, so
+        ``changes()`` must refuse them (instead of resurrecting them
+        from snapshots) and ``backfill_changes()`` must not undo the
+        vacuum on every resume.  The commit store is the one metadata
+        plane that works identically on a local FS and a real object
+        store — an FS-only marker file would silently vanish exactly
+        where the store-plane prune runs (review r07)."""
+        self.commit_store.put_if_absent(
+            f"changes_retention.{pruned_through:09d}", b"{}"
+        )
 
     def _changes_retention(self) -> int:
-        import json as _json
-
-        p = os.path.join(self.root, "_changes", "_RETENTION")
-        if not os.path.exists(p):
-            return -1
-        with open(p) as f:
-            return int(_json.load(f)["pruned_through_epoch"])
+        eps = [
+            int(n.rsplit(".", 1)[1])
+            for n in self.commit_store.list_names()
+            if n.startswith("changes_retention.")
+        ]
+        return max(eps, default=-1)
 
     def _prune_changes_via_store(self, retain_changes: int,
                                  min_age_seconds: float,
@@ -1780,8 +1798,11 @@ class LakehouseSink(Sink):
             if not files:
                 continue
             newest = max(mt for _r, mt in files)
+            # oldest-first; STOP at the first in-flight feed so the
+            # retention marker never covers an undeleted epoch (same
+            # contract as the FS path)
             if now - newest < min_age_seconds:
-                continue
+                break
             dp.delete_files([r for r, _mt in files])
             pruned += 1
             pruned_through = int(prefix.rsplit("=", 1)[1])

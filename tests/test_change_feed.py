@@ -227,6 +227,36 @@ def test_vacuum_retain_changes_prunes_old_feeds(spark, tmp_path):
     assert feeds() == ["epoch=000002", "epoch=000003"]
 
 
+def test_feed_prune_stops_at_inflight_epoch(spark, tmp_path):
+    """The prune walks oldest-first and STOPS at the first in-flight
+    (young) feed: the retention marker must never cover an epoch that
+    was not actually deleted — a skipped young feed that then crashes
+    before `_SUCCESS` must stay repairable, not be refused as
+    vacuumed."""
+    root = str(tmp_path / "t")
+    sink = LakehouseSink(spark, root, n_buckets=2, emit_changes=True)
+    sink.ensure()
+    for e in range(3):
+        sink.merge(
+            _df(spark, [[e + 1, "U", "r", "a", f"c{e}", "py", f"v{e}"]]), e
+        )
+    # age epochs 1..2, keep epoch 0 "in-flight" (fresh mtimes)
+    import time as _t
+    nowt = _t.time()
+    for e in (1, 2):
+        d = os.path.join(root, f"_changes/epoch={e:06d}")
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (nowt - 7200, nowt - 7200))
+    d0 = os.path.join(root, "_changes/epoch=000000")
+    for f in os.listdir(d0):
+        os.utime(os.path.join(d0, f), (nowt, nowt))
+    out = sink.vacuum(retain_changes=1, min_age_seconds=3600)
+    # epoch 0 is young -> the walk stops there; epoch 1 survives too
+    assert out["changes_pruned"] == 0
+    assert sink._changes_retention() == -1
+    assert len(_feed_rows(sink, 0)) >= 1  # still readable, not refused
+
+
 def test_feed_prune_via_store_plane_matches_driver(spark, tmp_path):
     """The feed prune must ride the object-store data plane under
     ``listing="store"`` (an os.listdir would silently no-op on a real

@@ -108,6 +108,25 @@ def test_replica_carries_evolved_columns(spark, tmp_path):
     assert got == {"a": None, "b": 42}
 
 
+def test_replica_own_manifest_pruning_does_not_fake_lag(spark, tmp_path):
+    """The replica watermark is its HEAD manifest's epoch id, so
+    pruning the REPLICA's old manifests (its own retention) must not
+    make a current replica look permanently behind."""
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    for e in range(4):
+        src.merge(_cl(spark, [(e + 1, "U", "r1", f"p{e}",
+                               f"c{e}", "py", f"v{e}")]), e)
+    replicate(src, dst)
+    dst.vacuum(retain_versions=1, min_age_seconds=0.0)
+    # still recognized as current…
+    assert replicate(src, dst)["applied_epochs"] == []
+    # …and future epochs still flow
+    src.merge(_cl(spark, [(9, "U", "r2", "q", "c9", "go", "w")]), 4)
+    assert replicate(src, dst)["applied_epochs"] == [4]
+    assert _state(dst) == _state(src)
+
+
 def test_replicate_behind_pruned_retention_raises(spark, tmp_path):
     src = _mk(spark, tmp_path, "src")
     dst = _mk(spark, tmp_path, "dst")

@@ -245,13 +245,17 @@ def test_derived_broadcast_key_limit_is_bounded(spark, tmp_path):
 def test_merge_leaves_no_cached_rdds(spark, tmp_path):
     """Regression guard for the r01 cache leak (unpersist on a
     post-drop plan was a no-op; leaked cache inflated every bench
-    number).  After a merge, ZERO persistent RDDs may remain."""
+    number).  A merge must add ZERO persistent RDDs.  Measured as a
+    DELTA: other tests in the shared session legitimately hold
+    localCheckpoint RDDs (e.g. incremental-view states) until the
+    ContextCleaner collects them."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     sink = _mk(spark, tmp_path)
     sink.merge(_df(spark, [[1, "I", "r", "a", "c1", "py", "v1"],
                            [2, "U", "r", "b", "c2", "py", "v2"]]), 0)
     sink.merge(_df(spark, [[3, "U", "r", "a", "c3", "py", "v3"]]), 1)
-    n_cached = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-    assert n_cached == 0, f"{n_cached} persistent RDDs leaked by merge"
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before, f"{after - before} persistent RDDs leaked"
 
 
 def test_declared_columns_skip_probe_and_store_values(spark, tmp_path):
