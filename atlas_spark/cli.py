@@ -321,6 +321,37 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_replicate(args) -> int:
+    """Sync a replica table from the configured source table's change
+    feed (CDC fan-out).  Requires the source to have been replayed
+    with ``sink.emit_changes = true``."""
+    import json as _json
+
+    from .operators.replicate import replicate, replication_lag
+    from .sinks import LakehouseSink
+
+    cfg = load_config(args.config)
+    if not cfg.sink.emit_changes:
+        print("config error: replicate requires sink.emit_changes = "
+              "true on the source table (the feed IS the transport)",
+              file=sys.stderr)
+        return 2
+    spark, src, _, _ = _build(cfg)
+    dst = LakehouseSink(spark, args.to, n_buckets=cfg.sink.n_buckets,
+                        emit_changes=True)
+    dst.ensure()
+    try:
+        out = replicate(src, dst)
+    except RuntimeError as e:
+        print(f"replicate refused: {e}", file=sys.stderr)
+        spark.stop()
+        return 1
+    lag = replication_lag(src, dst)
+    print(_json.dumps({"applied_epochs": out["applied_epochs"], **lag}))
+    spark.stop()
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     retain = getattr(args, "retain_versions", None)
     retain_changes = getattr(args, "retain_changes", None)
@@ -358,9 +389,14 @@ def main(argv=None) -> int:
         ("validate-config", cmd_validate),
         ("compact", cmd_compact),
         ("vacuum", cmd_vacuum),
+        ("replicate", cmd_replicate),
     ]:
         sp = sub.add_parser(name)
         sp.add_argument("-c", "--config", required=(name != "init"))
+        if name == "replicate":
+            sp.add_argument("--to", required=True,
+                            help="replica table root to sync from the "
+                                 "source's change feed")
         if name == "replay":
             sp.add_argument("--yes", action="store_true",
                             help="accept a changed changelog stream "

@@ -115,3 +115,40 @@ def replicate(src, dst) -> dict:
         applied.append(ep)
     return {"applied_epochs": applied,
             "replica_head_epoch": max(src_eps) if src_eps else -1}
+
+
+def replication_lag(src, dst) -> dict:
+    """How far the replica trails the source, in epochs — the number a
+    monitor alerts on.  Cheap: two manifest reads + one manifest-log
+    listing, no data scanned."""
+    src_eps = src.merge_epochs()
+    head_ep = dst.manifest().get("epoch_id", -1)
+    if head_ep is None:
+        head_ep = -1
+    pending = [ep for ep in src_eps if ep > head_ep]
+    return {
+        "source_head_epoch": max(src_eps) if src_eps else -1,
+        "replica_head_epoch": head_ep,
+        "pending_epochs": len(pending),
+    }
+
+
+def replicate_stream(src, dst, checkpoint: str, **trigger):
+    """Continuous replication: each new feed epoch landing in
+    ``_changes/`` triggers a sync.  The micro-batch content is used
+    only as a SIGNAL — the sync itself re-reads complete feeds through
+    :func:`replicate`, because a file-source batch may carry a PARTIAL
+    epoch (``maxFilesPerTrigger``, races with the emit), and merging a
+    partial epoch would fence out the remainder forever.  Redelivered
+    signals are harmless: every epoch merge is fenced by the replica's
+    own manifest.  Defaults to ``availableNow`` (drain-and-stop); pass
+    ``processingTime="10 seconds"`` for a long-lived follower."""
+    if not trigger:
+        trigger = {"availableNow": True}
+    return (
+        src.changes_stream()
+        .writeStream.foreachBatch(lambda _b, _bid: replicate(src, dst))
+        .option("checkpointLocation", checkpoint)
+        .trigger(**trigger)
+        .start()
+    )

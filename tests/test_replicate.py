@@ -5,6 +5,8 @@ its own re-emitted feed.  This is simultaneously the completeness
 proof for the feed: nothing dropped, nothing misclassified.
 """
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -135,6 +137,84 @@ def test_replicate_behind_pruned_retention_raises(spark, tmp_path):
     src.vacuum(retain_versions=1, min_age_seconds=0.0, retain_changes=1)
     with pytest.raises(RuntimeError, match="re-seed"):
         replicate(src, dst)
+
+
+def test_replicate_stream_follows_and_reports_lag(spark, tmp_path):
+    """Continuous replication: the change-feed stream is the trigger,
+    replicate() is the sync (a micro-batch may carry a partial epoch,
+    so batch CONTENT is never merged directly).  Redelivered triggers
+    are fenced no-ops; lag reads 0 after each drain."""
+    from atlas_spark.operators.replicate import (
+        replicate_stream, replication_lag,
+    )
+
+    src = _mk(spark, tmp_path, "src")
+    dst = _mk(spark, tmp_path, "dst")
+    ckpt = str(tmp_path / "ck")
+    src.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx"),
+                          (2, "U", "r2", "b", "c2", "go", "yy")]), 0)
+    assert replication_lag(src, dst)["pending_epochs"] == 1
+    q = replicate_stream(src, dst, ckpt)
+    q.awaitTermination(120)
+    assert _state(dst) == _state(src)
+    lag = replication_lag(src, dst)
+    assert lag["pending_epochs"] == 0
+    assert lag["replica_head_epoch"] == lag["source_head_epoch"] == 0
+    # next epoch arrives; a restarted follower drains only the new one
+    src.merge(_cl(spark, [(3, "D", "r1", "a", "c3", "py", "")]), 1)
+    q = replicate_stream(src, dst, ckpt)
+    q.awaitTermination(120)
+    assert _state(dst) == _state(src)
+    assert replication_lag(src, dst)["pending_epochs"] == 0
+
+
+def test_cli_replicate_end_to_end(tmp_path):
+    """CLI surface: replay with the feed on, then `replicate --to`
+    builds the replica and prints applied epochs + lag; a feed-less
+    config is refused at exit 2."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+
+    def run(*args):
+        return subprocess.run(
+            [_sys.executable, "-m", "atlas_spark.cli", *args],
+            capture_output=True, text=True, env=env, cwd=repo,
+        )
+
+    from atlas_spark.changelog import (
+        ChangelogSpec, generate_changelog, write_changelog,
+    )
+    log = str(tmp_path / "log")
+    write_changelog(
+        generate_changelog(ChangelogSpec(n_events=200, n_repos=3,
+                                         paths_per_repo=6)),
+        log, n_files=2,
+    )
+    cfgp = tmp_path / "engine.toml"
+    cfgp.write_text(
+        f'[source]\nchangelog_dir = "{log}"\nfiles_per_epoch = 1\n'
+        f'[sink]\ntable_root = "{tmp_path / "src"}"\nn_buckets = 4\n'
+        "emit_changes = true\n"
+    )
+    assert run("replay", "-c", str(cfgp)).returncode == 0
+    r = run("replicate", "-c", str(cfgp), "--to", str(tmp_path / "dst"))
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["pending_epochs"] == 0 and out["applied_epochs"]
+
+    nofeed = tmp_path / "nofeed.toml"
+    nofeed.write_text(
+        f'[source]\nchangelog_dir = "{log}"\n'
+        f'[sink]\ntable_root = "{tmp_path / "src"}"\n'
+    )
+    r2 = run("replicate", "-c", str(nofeed), "--to",
+             str(tmp_path / "dst2"))
+    assert r2.returncode == 2
+    assert "emit_changes" in r2.stderr
 
 
 def test_feed_to_changelog_shape(spark, tmp_path):
