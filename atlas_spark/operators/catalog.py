@@ -717,6 +717,61 @@ def q_cdf_incremental_agg(spark, sf_dir):
         shutil.rmtree(vdir, ignore_errors=True)
 
 
+def q_feed_replica(spark, sf_dir):
+    """CDC fan-out under the driver's hash gate: replay the two-epoch
+    changelog into a source table with the feed on, rebuild a REPLICA
+    from nothing but the emitted feeds (``operators/replicate.py``),
+    and return the replica's live state.  The oracle computes the
+    SOURCE's final LWW live state directly — so the feed's
+    completeness (nothing dropped, nothing misclassified, tombstones
+    and late-but-older ordering preserved) is what the hash checks.
+    ``content`` is salted with the event id so no two events of a key
+    are byte-identical — the classifier's identical-bytes-is-no-change
+    rule would otherwise let replica bookkeeping columns legitimately
+    lag (documented contract boundary in replicate.py), which is a
+    semantic choice, not the completeness property this row gates."""
+    import shutil
+    import tempfile
+
+    from ..operators.replicate import replicate
+    from ..sinks import LakehouseSink
+
+    ev = _events(spark, sf_dir)
+    cl = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
+                 .cast("string")).alias("repo"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        .alias("commit"),
+        F.col("event_type").alias("lang"),
+        F.concat(F.col("props"), F.lit("#"),
+                 F.col("event_id").cast("string")).alias("content"),
+    )
+    sroot = tempfile.mkdtemp(prefix="atlas_q_repl_s_")
+    droot = tempfile.mkdtemp(prefix="atlas_q_repl_d_")
+    try:
+        src = LakehouseSink(spark, sroot, n_buckets=8, emit_changes=True)
+        src.ensure()
+        src.merge(cl.filter(F.col("seq") < 5000), 0)
+        src.merge(cl.filter(F.col("seq") >= 5000), 1)
+        dst = LakehouseSink(spark, droot, n_buckets=8)
+        dst.ensure()
+        out = replicate(src, dst)
+        assert out["applied_epochs"] == [0, 1], out
+        return (
+            dst.read()
+            .select("repo", "path", "seq", "commit", "lang",
+                    "content", "content_sha256")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(sroot, ignore_errors=True)
+        shutil.rmtree(droot, ignore_errors=True)
+
+
 def q_nested_evolution(spark, sf_dir):
     """Nested-payload schema evolution (VERDICT r05 #6) under the
     driver's hash gate: dotted-path typed columns over a nested JSON
@@ -971,6 +1026,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdf_emit": q_cdf_emit,
     "q_cdf_backfill": q_cdf_backfill,
     "q_cdf_incremental_agg": q_cdf_incremental_agg,
+    "q_feed_replica": q_feed_replica,
     "q_nested_evolution": q_nested_evolution,
     "q_daily_counts": q_daily_counts,
     "q_base64_key": q_base64_key,
@@ -1277,6 +1333,27 @@ def _sqlq(pat: str) -> str:
 # the backfilled (crash-regenerated) feed must equal the emitted one —
 # same oracle by construction (shared classifier; VERDICT r06 #3)
 ORACLES["q_cdf_backfill"] = ORACLES["q_cdf_emit"]
+
+# The replica rebuilt purely from emitted feeds must equal the
+# source's final LWW live state (computed directly by the oracle) —
+# the feed-completeness gate.  Content is event-id-salted so the
+# identical-bytes-is-no-change classifier rule cannot apply.
+ORACLES["q_feed_replica"] = """
+    WITH cl AS (
+      SELECT event_id AS seq,
+             (event_type = 'error') AS del,
+             'r' || CAST(user_id % 8 AS VARCHAR) AS repo,
+             'u' || CAST(user_id AS VARCHAR) AS path,
+             'c' || CAST(event_id AS VARCHAR) AS cmt,
+             event_type AS lang,
+             props || '#' || CAST(event_id AS VARCHAR) AS content
+      FROM events)
+    SELECT repo, path, seq, cmt AS "commit", lang, content,
+           sha256(content) AS content_sha256
+    FROM (SELECT cl.*, row_number() OVER (
+              PARTITION BY repo, path ORDER BY seq DESC) rn
+          FROM cl) WHERE rn = 1 AND NOT del
+"""
 
 # The incremental view folded from the change feed must equal the same
 # aggregate computed directly over the final LWW live state — the
