@@ -38,7 +38,8 @@ def _build(cfg):
         sink = LakehouseSink(spark, cfg.sink.table_root,
                              n_buckets=cfg.sink.n_buckets,
                              mode=cfg.sink.merge_mode,
-                             emit_changes=cfg.sink.emit_changes)
+                             emit_changes=cfg.sink.emit_changes,
+                             cdf_preimage=cfg.sink.cdf_preimage)
     decl = cfg.sink.declared_pairs() if hasattr(cfg.sink, "declared_pairs") else []
     if decl and hasattr(sink, "supports_deferred_decode"):
         sink.ensure(declared_columns=decl)

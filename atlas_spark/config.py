@@ -42,6 +42,10 @@ class SinkConfig:
     # analog; CoW only — MoR's feed is diff()); read with
     # sink.changes(epoch) / diff(v1, v2)
     emit_changes: bool = False
+    # carry the full old row as a `_pre` struct in the feed (Delta CDF
+    # update_preimage analog) — required by incremental materialized
+    # views (operators/incremental.py); persisted as a table property
+    cdf_preimage: bool = False
     # evolved payload columns declared at CREATE TABLE time ("name:
     # type" strings, e.g. ["lines:bigint"]): the runner then never
     # probes the raw payload for their presence (DDL-ensure, W8)
@@ -65,6 +69,11 @@ class SinkConfig:
                 "sink.emit_changes requires format=lakehouse (the "
                 "Iceberg sink delegates CDF to the catalog's own "
                 "changelog scan; the flag would be silently ignored)"
+            )
+        if self.cdf_preimage and not self.emit_changes:
+            errs.append(
+                "sink.cdf_preimage requires emit_changes=true (the "
+                "pre-image rides the emitted feed)"
             )
         for d in self.declared_columns:
             if ":" not in d:

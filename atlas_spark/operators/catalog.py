@@ -33,6 +33,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _cdf_changelog(ev: DataFrame, salt_content: bool = False) -> DataFrame:
+    """The one event→changelog projection the CDF-family queries
+    (q_cdf_emit / q_cdf_backfill / q_cdf_incremental_agg /
+    q_feed_replica) share — keep it in lockstep with their DuckDB
+    oracles' `cl` CTE.  ``salt_content`` appends the event id so no
+    two events of a key are byte-identical (q_feed_replica needs the
+    classifier's identical-bytes-is-no-change rule out of play)."""
+    content = (
+        F.concat(F.col("props"), F.lit("#"),
+                 F.col("event_id").cast("string"))
+        if salt_content else F.col("props")
+    )
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
+                 .cast("string")).alias("repo"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
+        F.concat(F.lit("c"), F.col("event_id").cast("string"))
+        .alias("commit"),
+        F.col("event_type").alias("lang"),
+        content.alias("content"),
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts normalized to TIMESTAMP (files carry NTZ;
     session TZ is UTC so the cast is wall-clock-identity)."""
@@ -584,18 +610,7 @@ def q_cdf_emit(spark, sf_dir):
     from ..sinks import LakehouseSink
 
     ev = _events(spark, sf_dir)
-    cl = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U")).alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
-                 .cast("string")).alias("repo"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
-        F.concat(F.lit("c"), F.col("event_id").cast("string"))
-        .alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    cl = _cdf_changelog(ev)
     root = tempfile.mkdtemp(prefix="atlas_q_cdf_")
     try:
         sink = LakehouseSink(spark, root, n_buckets=8, emit_changes=True)
@@ -631,18 +646,7 @@ def q_cdf_backfill(spark, sf_dir):
     from ..sinks import LakehouseSink
 
     ev = _events(spark, sf_dir)
-    cl = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U")).alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
-                 .cast("string")).alias("repo"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
-        F.concat(F.lit("c"), F.col("event_id").cast("string"))
-        .alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    cl = _cdf_changelog(ev)
     root = tempfile.mkdtemp(prefix="atlas_q_cdfbf_")
     try:
         sink = LakehouseSink(spark, root, n_buckets=8, emit_changes=True)
@@ -684,18 +688,7 @@ def q_cdf_incremental_agg(spark, sf_dir):
     from ..sinks import LakehouseSink
 
     ev = _events(spark, sf_dir)
-    cl = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U")).alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
-                 .cast("string")).alias("repo"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
-        F.concat(F.lit("c"), F.col("event_id").cast("string"))
-        .alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.col("props").alias("content"),
-    )
+    cl = _cdf_changelog(ev)
     root = tempfile.mkdtemp(prefix="atlas_q_cdfia_")
     vdir = tempfile.mkdtemp(prefix="atlas_q_cdfia_v_")
     try:
@@ -737,19 +730,7 @@ def q_feed_replica(spark, sf_dir):
     from ..sinks import LakehouseSink
 
     ev = _events(spark, sf_dir)
-    cl = ev.select(
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U")).alias("op"),
-        F.concat(F.lit("r"), F.pmod(F.col("user_id"), F.lit(8))
-                 .cast("string")).alias("repo"),
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("path"),
-        F.concat(F.lit("c"), F.col("event_id").cast("string"))
-        .alias("commit"),
-        F.col("event_type").alias("lang"),
-        F.concat(F.col("props"), F.lit("#"),
-                 F.col("event_id").cast("string")).alias("content"),
-    )
+    cl = _cdf_changelog(ev, salt_content=True)
     sroot = tempfile.mkdtemp(prefix="atlas_q_repl_s_")
     droot = tempfile.mkdtemp(prefix="atlas_q_repl_d_")
     try:

@@ -263,6 +263,15 @@ class IncrementalAggView:
         unioned and re-summed into one combined delta: still a single
         fold join for the whole catch-up, however many epochs behind."""
         ptr = self._pointer()
+        if ptr.get("stream_ckpt") is not None:
+            # the stream driver tracks progress in ITS checkpoint, not
+            # the epoch watermark — a batch refresh here would re-fold
+            # everything the stream already applied
+            raise RuntimeError(
+                "view is stream-maintained (checkpoint "
+                f"{ptr['stream_ckpt']}); use stream_refresh, or "
+                "rebuild the view for batch driving"
+            )
         pending = [
             ep for ep in self._merge_epochs(sink)
             if ep > ptr["applied_through_epoch"]
@@ -394,6 +403,21 @@ class IncrementalAggView:
         # restart that spells the same dir differently ("ckpt" vs
         # "./ckpt") must still be recognized as the same stream
         ckpt = os.path.abspath(checkpoint)
+        # a NEW checkpoint lists the whole feed again — folding it onto
+        # state the old driver already built would double every count
+        # and sum.  Refuse loudly unless the view is empty (fresh) or
+        # the checkpoint matches the one that built it.
+        ptr = self._pointer()
+        prev = ptr.get("stream_ckpt")
+        if ptr["version"] > 0 and prev != ckpt:
+            raise RuntimeError(
+                "view state was built by "
+                + (f"stream checkpoint {prev}" if prev
+                   else "batch refresh()/bootstrap()")
+                + f"; starting a stream on checkpoint {ckpt} would "
+                "re-fold already-applied feeds. Reuse the original "
+                "checkpoint, or rebuild the view under one driver."
+            )
         return (
             sink.changes_stream()
             .writeStream.foreachBatch(

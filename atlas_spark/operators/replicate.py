@@ -38,6 +38,13 @@ emits nothing, so the replica's ``seq`` for that key can lag.  Content
 still converges forever through the feed: any later event either
 no-ops on the source too (and emits nothing) or wins there (and emits
 with its own seq, which the replica then adopts).
+
+An OCC-rebase CoW clobber emits a D whose key is ABSENT from the new
+source state (post image all NULL, seq included); the projection
+coalesces the delete onto the pre-image seq so it wins the replica's
+LWW election, leaving the replica a TOMBSTONE where the source has no
+row at all — live states equal, and the extra tombstone additionally
+guards the replica against resurrections.
 """
 
 from __future__ import annotations
@@ -60,8 +67,17 @@ def feed_to_changelog(changes):
             "is_deleted", "content_sha256", "epoch"}
     extra = [c for c in changes.columns
              if c not in skip and c not in _BASE_COLS]
+    # a D whose key is ABSENT from the new state (an OCC-rebase CoW
+    # clobber) has an all-NULL post image, including seq — a NULL-seq
+    # delete would LOSE the replica's LWW election and the replica
+    # would keep a row the source dropped.  The pre-image seq is the
+    # seq the replica currently holds for that key (it mirrors the
+    # source pre-state), and the cross-batch guard admits deletes at
+    # seq equality, so coalescing onto `_pre_seq` applies the clobber.
+    seq = (F.coalesce(F.col("seq"), F.col("_pre_seq")).alias("seq")
+           if "_pre_seq" in changes.columns else F.col("seq"))
     return changes.select(
-        F.col("seq"),
+        seq,
         F.when(F.col("_change") == "D", F.lit("D"))
         .otherwise(F.lit("U")).alias("op"),
         "repo", "path", "commit", "lang", "content",

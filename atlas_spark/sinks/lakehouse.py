@@ -329,8 +329,13 @@ class LakehouseSink(Sink):
         # carry the full old row as a `_pre` struct in the emitted feed
         # (Delta CDF update_preimage analog) — what downstream
         # incremental aggregation needs to retract U/D contributions
-        # without ever reading a prior snapshot
+        # without ever reading a prior snapshot.  The flag is ALSO
+        # persisted as a table property (commit-store `table_props`) so
+        # a DIFFERENT sink instance regenerating a crash-lost feed —
+        # e.g. the CLI's resume backfill — writes the same shape
+        # instead of durably poisoning the feed without `_pre`.
         self.cdf_preimage = cdf_preimage
+        self._props_cache: dict | None = None
         self.exact_duplicate_metrics = exact_duplicate_metrics
         self.spark = spark
         self.root = root
@@ -391,6 +396,7 @@ class LakehouseSink(Sink):
         columns still evolve dynamically when they appear.
         """
         self.commit_store.ensure()
+        self._record_table_props()
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         if self.commit_store.read_pointer() is None:
             base_names = {n for n, _ in BASE_FIELDS}
@@ -410,6 +416,33 @@ class LakehouseSink(Sink):
                 "stats": {"rows": 0, "tombstones": 0},
             }
             self._write_manifest(m)
+
+    def _record_table_props(self) -> None:
+        """Persist instance flags that change the DURABLE shape of
+        what the table writes (currently: cdf_preimage) so any later
+        sink instance — the CLI resume backfill in particular —
+        regenerates feeds in the same shape.  put-if-absent: first
+        writer wins, idempotent."""
+        if self.cdf_preimage:
+            self.commit_store.put_if_absent(
+                "table_props",
+                json.dumps({"cdf_preimage": True}).encode(),
+            )
+            self._props_cache = None
+
+    def _table_cdf_preimage(self) -> bool:
+        """The effective pre-image flag: this instance's OR the
+        persisted table property."""
+        if self.cdf_preimage:
+            return True
+        if self._props_cache is None:
+            try:
+                self._props_cache = json.loads(
+                    self.commit_store.read("table_props")
+                )
+            except FileNotFoundError:
+                self._props_cache = {}
+        return bool(self._props_cache.get("cdf_preimage"))
 
     @staticmethod
     def _manifest_name(version: int) -> str:
@@ -1405,7 +1438,7 @@ class LakehouseSink(Sink):
                else sess.createDataFrame([], schema))
         rel = f"_changes/epoch={epoch_id:06d}"
         chg = self._change_rows(old, new, include_pre=True,
-                                include_preimage=self.cdf_preimage)
+                                include_preimage=self._table_cdf_preimage())
         if self._capture is not None:
             self._capture["changes_plan"] = _explain(chg)
         chg.write.mode("overwrite").parquet(os.path.join(self.root, rel))
@@ -1455,14 +1488,25 @@ class LakehouseSink(Sink):
         manifest log (compaction versions inherit the last merge's
         epoch and are skipped).  The single source of truth for
         feed consumers — the incremental view's and the replica's
-        pending-epoch enumeration both key off this."""
+        pending-epoch enumeration both key off this.
+
+        Per-version (epoch, compaction) pairs are memoized on the
+        instance: manifests are immutable per version, so repeat calls
+        (a view refresh then a lag probe, every replica sync) cost one
+        manifest-log LISTING, not O(versions) manifest reads each."""
+        cache = getattr(self, "_epoch_meta_cache", None)
+        if cache is None:
+            cache = self._epoch_meta_cache = {}
         eps = set()
         for v in self._committed_versions():
             if v == 0:
                 continue
-            mv = self.manifest(v)
-            ep = mv.get("epoch_id", -1)
-            if ep is not None and ep >= 0 and not mv.get("compaction"):
+            if v not in cache:
+                mv = self.manifest(v)
+                cache[v] = (mv.get("epoch_id", -1),
+                            bool(mv.get("compaction")))
+            ep, compaction = cache[v]
+            if ep is not None and ep >= 0 and not compaction:
                 eps.add(ep)
         return sorted(eps)
 
@@ -1488,7 +1532,7 @@ class LakehouseSink(Sink):
         new = self.read(include_tombstones=True, version=version)
         (
             self._change_rows(old, new, include_pre=True,
-                              include_preimage=self.cdf_preimage)
+                              include_preimage=self._table_cdf_preimage())
             .write.mode("overwrite")
             .parquet(os.path.join(self.root, rel))
         )
@@ -1553,7 +1597,16 @@ class LakehouseSink(Sink):
         each epoch's parquet once — no snapshot reads, no joins; state
         is the checkpoint's seen-file log, O(feed files)."""
         base = os.path.join(self.root, "_changes")
-        schema = self.spark.read.parquet(base).schema  # incl. `epoch`
+        # mergeSchema: a schema-evolved feed has different columns per
+        # epoch, and a plain read takes one arbitrary footer's schema —
+        # the stream would then nondeterministically drop columns added
+        # in later epochs.  The merged (union) schema makes every batch
+        # carry every column, older epochs reading NULL for columns
+        # they pre-date (exactly the batch refresh() semantics).
+        schema = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(base).schema  # incl. `epoch`
+        )
         reader = self.spark.readStream.schema(schema).option(
             "basePath", base
         )

@@ -339,9 +339,19 @@ def _controls_vs_prev(controls: dict) -> dict | None:
         try:
             with open(os.path.join(here, "PROGRESS.jsonl")) as f:
                 for line in f:
-                    if line.strip():
-                        cur_round = json.loads(line).get("round")
-        except (OSError, json.JSONDecodeError):
+                    if not line.strip():
+                        continue
+                    # keep the LAST line that carries a round; a
+                    # trailing round-less or malformed line must not
+                    # reset the guard to None (that would silently
+                    # re-enable the compare-to-self defeat)
+                    try:
+                        r = json.loads(line).get("round")
+                    except json.JSONDecodeError:
+                        continue
+                    if r is not None:
+                        cur_round = r
+        except OSError:
             cur_round = None
     for path in reversed(rounds):
         n = int(re.search(r"_r(\d+)", path).group(1))

@@ -386,6 +386,68 @@ def test_null_group_values_merge_in_fold(spark, tmp_path):
     assert got == [("r2", 1, 3)]
 
 
+def test_preimage_property_survives_other_sink_instances(spark, tmp_path):
+    """cdf_preimage is persisted as a table property, so a DIFFERENT
+    sink instance (the CLI resume backfill) regenerating a crash-lost
+    feed writes the SAME shape — a preimage table must never get its
+    feed durably poisoned without `_pre`."""
+    import shutil as _sh
+
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    sink.merge(_cl(spark, [(2, "U", "r1", "a", "c2", "py", "yyy")]), 1)
+    _sh.rmtree(os.path.join(sink.root, "_changes/epoch=000001"))
+    # a flag-less instance (what `_build` makes on a CLI resume before
+    # the operator remembered to set cdf_preimage in the TOML)
+    plain = LakehouseSink(spark, sink.root, n_buckets=4,
+                          emit_changes=True)
+    assert plain.backfill_changes() == [1]
+    assert "_pre" in plain.changes(1).columns
+    feed = {r["_change"]: r for r in plain.changes(1).collect()}
+    assert feed["U"]["_pre"]["content"] == "xx"
+
+
+def test_stream_schema_merges_across_evolution(spark, tmp_path):
+    """changes_stream must read the UNION schema of all epoch feeds —
+    a plain footer-sampled schema would nondeterministically drop
+    columns added in later epochs, diverging from batch refresh."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    b2 = _cl(spark, [(2, "U", "r1", "b", "c2", "py", "yy")]).withColumn(
+        "lines", F.lit(3).cast("bigint")
+    )
+    sink.merge(b2, 1)
+    cols = set(sink.changes_stream().schema.fieldNames())
+    assert "lines" in cols and "_pre" in cols and "epoch" in cols
+
+
+def test_mixed_drivers_refused(spark, tmp_path):
+    """One view, one driver: a stream start on a view built by batch
+    refresh (or on a DIFFERENT checkpoint) and a batch refresh on a
+    stream-maintained view would each silently double-fold — both are
+    refused loudly."""
+    sink = _sink(spark, tmp_path)
+    sink.merge(_cl(spark, [(1, "U", "r1", "a", "c1", "py", "xx")]), 0)
+    batch_view = IncrementalAggView(spark, str(tmp_path / "v1"),
+                                    ["repo"], dict(MEASURES))
+    batch_view.refresh(sink)
+    with pytest.raises(RuntimeError, match="re-fold"):
+        batch_view.stream_refresh(sink, str(tmp_path / "ck1"))
+
+    stream_view = IncrementalAggView(spark, str(tmp_path / "v2"),
+                                     ["repo"], dict(MEASURES))
+    q = stream_view.stream_refresh(sink, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    with pytest.raises(RuntimeError, match="stream-maintained"):
+        stream_view.refresh(sink)
+    with pytest.raises(RuntimeError, match="re-fold"):
+        stream_view.stream_refresh(sink, str(tmp_path / "ck3"))
+    # the original checkpoint still works
+    q = stream_view.stream_refresh(sink, str(tmp_path / "ck2"))
+    q.awaitTermination(120)
+    assert _view_rows(stream_view) == _direct(sink)
+
+
 def test_fold_delta_drops_dead_groups_only_with_count(spark):
     delta = spark.createDataFrame(
         pd.DataFrame({"g": ["a", "b"], "n_rows": [0, 1],

@@ -21,8 +21,8 @@ def _cl(spark, rows):
     return spark.createDataFrame(pd.DataFrame(rows, columns=COLS))
 
 
-def _mk(spark, tmp_path, name, **kw):
-    s = LakehouseSink(spark, str(tmp_path / name), n_buckets=4,
+def _mk(spark, tmp_path, name, n_buckets=4, **kw):
+    s = LakehouseSink(spark, str(tmp_path / name), n_buckets=n_buckets,
                       emit_changes=True, **kw)
     s.ensure()
     return s
@@ -215,6 +215,53 @@ def test_cli_replicate_end_to_end(tmp_path):
              str(tmp_path / "dst2"))
     assert r2.returncode == 2
     assert "emit_changes" in r2.stderr
+
+
+def test_clobber_delete_with_null_post_seq_applies_on_replica(spark, tmp_path):
+    """An OCC-rebase CoW clobber emits a D whose post image is all
+    NULL (the key is ABSENT from the new state, so seq is NULL too) —
+    the projected delete must coalesce onto the pre-image seq, or the
+    replica's LWW election keeps a row the source dropped."""
+    src = _mk(spark, tmp_path, "src", n_buckets=1)
+    dst = _mk(spark, tmp_path, "dst", n_buckets=1)
+    src.merge(_cl(spark, [(1, "U", "r", "x", "c1", "py", "v1")]), 0)
+
+    rival = LakehouseSink(spark, str(tmp_path / "src"), n_buckets=1,
+                          emit_changes=True)
+    orig = src.commit_store.put_if_absent
+    fired = {"done": False}
+
+    def racy(name, data):
+        if not fired["done"] and name.startswith("manifest."):
+            fired["done"] = True
+            rival.merge(_cl(spark, [(5, "U", "r", "z", "c5", "py",
+                                     "vz")]), 1)
+        return orig(name, data)
+
+    src.commit_store.put_if_absent = racy
+    src.merge(_cl(spark, [(9, "U", "r", "x", "c9", "py", "v9")]), 2)
+    src.commit_store.put_if_absent = orig
+    assert fired["done"]
+    # the clobber D for z rides epoch 2's feed with a NULL post seq
+    d = [r for r in src.changes(2).collect() if r["path"] == "z"]
+    assert len(d) == 1 and d[0]["_change"] == "D" and d[0]["seq"] is None
+    cl2 = feed_to_changelog(src.changes(2))
+    dz = [r for r in cl2.collect() if r["path"] == "z"]
+    assert dz[0]["op"] == "D" and dz[0]["seq"] == 5  # pre-image seq
+    # end-to-end: replica LIVE state converges to the clobbered source
+    # (the replica holds a TOMBSTONE for z where the CoW clobber left
+    # no row at all on the source — conservative: it additionally
+    # guards the replica against resurrections)
+    replicate(src, dst)
+    live = lambda s: sorted(  # noqa: E731
+        tuple(r) for r in s.read()
+        .select("repo", "path", "seq", "content_sha256").collect()
+    )
+    assert live(dst) == live(src)
+    assert dst.read().filter(F.col("path") == "z").count() == 0
+    zrow = dst.read(include_tombstones=True).filter(
+        F.col("path") == "z").collect()
+    assert len(zrow) == 1 and zrow[0]["is_deleted"]
 
 
 def test_feed_to_changelog_shape(spark, tmp_path):
