@@ -22,6 +22,7 @@ Demos run on the driver-provided tables (TESTDATA.md):
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -31,6 +32,55 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# Round 8 (guide §2.4/§6): the demo tables are single-file parquet with
+# ONE row group, which Spark cannot split — every scan is one task and
+# compute-heavy projections (shingling, md5 families, JSON parse,
+# regex bundles) run single-threaded on a 32-core box regardless of
+# maxPartitionBytes / minPartitionNum.  ``_tp`` hash-repartitions
+# SMALL inputs across the default parallelism on the table's unique id
+# before the heavy projection:
+# * hash (not round-robin): round-robin pays a per-task local sort of
+#   the whole input first (``spark.sql.execution.sortBeforeRepartition``,
+#   needed for retry determinism) — measured +1 s on a 1M-row table;
+#   hashing a unique id is retry-deterministic for free and spreads
+#   perfectly (guide §2.5: key cardinality ≫ partitions);
+# * only below the cap: a real 100 TB corpus is multi-file /
+#   multi-row-group (the scan parallelizes itself) and a blind
+#   repartition there would shuffle the lake.
+# Only queries whose per-row compute dominates the exchange use _tp —
+# cheap projections and map-side aggregates measured FASTER without it
+# (the A/B table lives in OPTIMIZATION_r08.md).  Measured wins at the
+# 1M-row scale shape: q_minhash_signature 6.8→0.6 s, q_ngram_jaccard
+# 9.8→4.1 s, q_json_extract 2.4→1.0 s, q_topn_per_group 1.4→0.6 s.
+_SPREAD_CAP = int(os.environ.get("ATLAS_SPREAD_MAX_BYTES", str(1 << 30)))
+
+_TABLE_ID = {"documents": "doc_id", "events": "event_id",
+             "embeddings": "vec_id"}
+
+
+def _input_bytes(path: str) -> int:
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path) for f in fs
+        )
+    except OSError:
+        return _SPREAD_CAP + 1  # unknown size: treat as big, no-op
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if _input_bytes(path) <= _SPREAD_CAP:
+        df = df.repartition(
+            spark.sparkContext.defaultParallelism,
+            F.col(_TABLE_ID[name]),
+        )
+    return df
 
 
 def _cdf_changelog(ev: DataFrame, salt_content: bool = False) -> DataFrame:
@@ -59,10 +109,12 @@ def _cdf_changelog(ev: DataFrame, salt_content: bool = False) -> DataFrame:
     )
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(spark: SparkSession, sf_dir: str,
+            spread: bool = False) -> DataFrame:
     """events with ts normalized to TIMESTAMP (files carry NTZ;
-    session TZ is UTC so the cast is wall-clock-identity)."""
-    ev = _t(spark, sf_dir, "events")
+    session TZ is UTC so the cast is wall-clock-identity).
+    ``spread=True`` routes through ``_tp`` for compute-heavy consumers."""
+    ev = (_tp if spread else _t)(spark, sf_dir, "events")
     return ev.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -71,21 +123,31 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_lww_latest(spark, sf_dir):
-    """W5/§2.6 dedup-by-id window — the heart of the LWW merge:
-    row_number() OVER (PARTITION BY key ORDER BY ts DESC) = 1."""
+    """W5/§2.6 dedup-by-id fold — the heart of the LWW merge.
+
+    Round 8 (guide §2.3 "aggregate before you shuffle"): the r07
+    ``row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+    event_id DESC) = 1`` window shipped EVERY event through one hash
+    exchange and sorted it, just to keep one row per key.  A
+    ``max(struct(ts, event_id, …))`` aggregate picks the identical
+    winner (struct ordering is field-lexicographic — ts first, then
+    the unique event_id, so the tiebreak matches the window's
+    ORDER BY exactly) but partial-aggregates map-side: the exchange
+    carries ≤|keys| rows per map task instead of the table.  Plan
+    diff: Exchange+Sort+Window+Filter → partial/final HashAggregate
+    (1.24 s → 0.53 s at the 1M-row scale shape, value-identical)."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
+    w = F.max(F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
+    )).alias("_w")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.groupBy("user_id").agg(w)
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
-            F.col("value").alias("last_value"),
-            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("_w.event_id").alias("last_event_id"),
+            F.col("_w.event_type").alias("last_type"),
+            F.col("_w.value").alias("last_value"),
+            F.unix_micros("_w.ts").alias("last_ts_us"),
         )
     )
 
@@ -137,7 +199,10 @@ def q_point_lookup(spark, sf_dir):
 
 def q_json_extract(spark, sf_dir):
     """§2.6 JSON path extraction (payload decode analog of S3/T6)."""
-    ev = _t(spark, sf_dir, "events")
+    # _tp: the JSON parse is the per-row cost — spread it across cores
+    # before the aggregate (guide §4: the single-row-group scan would
+    # otherwise parse every props string in one task)
+    ev = _tp(spark, sf_dir, "events")
     return (
         ev.withColumn(
             "k_val", F.get_json_object("props", "$.k").cast("int")
@@ -310,8 +375,11 @@ _MINHASH_STRUCT = (
 def q_minhash_signature(spark, sf_dir):
     """MinHash signatures (4 hash families) over word 3-shingles —
     shingle → md5(seed||shingle) → min; the LSH building block.
-    One bound shingle evaluation per row (see _SHINGLE_EXPR note)."""
-    d = _t(spark, sf_dir, "documents")
+    One bound shingle evaluation per row (see _SHINGLE_EXPR note).
+    Round 8: _tp spreads the md5-family fold across cores (the
+    single-row-group scan ran it in one task — 6.8 s → 0.65 s at the
+    1M-row scale shape)."""
+    d = _tp(spark, sf_dir, "documents")
     sig = F.expr(_MINHASH_STRUCT.format(sh=_SHINGLE_EXPR.format(col="text")))
     out = d.select("doc_id", sig.alias("_sig"))
     return out.select("doc_id", *[
@@ -333,7 +401,7 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     or cap band size; the oracle-equivalent join has the same skew.
     NULL band keys (docs with < 3 words) are filtered, matching SQL
     join semantics where NULL = NULL is false."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
     sig = d.select("doc_id", F.expr(_mh(0, shd)).alias("mh0")).filter(
         F.col("mh0").isNotNull()
@@ -360,11 +428,28 @@ def q_ngram_jaccard(spark, sf_dir):
     carry (doc_id, shd) structs, so the pair rows already hold both
     shingle sets — ONE scan, ONE shuffle, no hydration join, no cache
     (r01 recomputed shingles ~4× and leaked a cache: 10.5 s; the
-    self-join rework: 2.3 s; this shape: ~1.3 s at sf0.1)."""
-    d = _t(spark, sf_dir, "documents")
-    shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
-    rel = d.select(
-        "doc_id", F.expr(shd).alias("shd"), F.expr(_mh(0, shd)).alias("mh0")
+    self-join rework: 2.3 s; this shape: ~1.3 s at sf0.1).
+
+    Round 8: three changes, value-identical (oracle unchanged):
+    * _tp spreads the shingle projection across cores (single-row-
+      group scan — guide §6);
+    * ``shd`` and ``mh0`` come out of ONE bound evaluation
+      (named_struct inside the binding lambda) — r07 spelled the
+      shingle expression twice in the projection and HOF lambdas
+      defeat Catalyst's subexpression elimination, so every row paid
+      split+shingle+distinct twice;
+    * |A∪B| is derived as |A|+|B|−|A∩B| (exact for distinct arrays)
+      instead of materializing ``array_union`` — halves the per-pair
+      set work (guide §1.2 "per-task work")."""
+    d = _tp(spark, sf_dir, "documents")
+    sh = _SHINGLE_EXPR.format(col="text")
+    both = (
+        "element_at(transform(array(array_distinct(" + sh + ")), shd -> "
+        "named_struct('shd', shd, 'mh0', "
+        "array_min(transform(shd, x -> md5(concat('0', x)))))), 1)"
+    )
+    rel = d.select("doc_id", F.expr(both).alias("_s")).select(
+        "doc_id", F.col("_s.shd").alias("shd"), F.col("_s.mh0").alias("mh0")
     ).filter(F.col("mh0").isNotNull())
     g = rel.groupBy("mh0").agg(
         F.collect_list(F.struct("doc_id", "shd")).alias("ds")
@@ -374,12 +459,20 @@ def q_ngram_jaccard(spark, sf_dir):
         .select("a", F.explode("ds").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
-    inter = F.size(F.array_intersect("a.shd", "b.shd"))
-    union = F.size(F.array_union("a.shd", "b.shd"))
-    return pairs.select(
+    # two-step projection: `_i` feeds both the numerator and the
+    # derived union size — staging it keeps array_intersect evaluated
+    # once (CollapseProject refuses to inline a non-cheap expression
+    # referenced twice, so the plan keeps two Projects)
+    staged = pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(inter / union, 4).alias("jaccard"),
+        F.size(F.array_intersect("a.shd", "b.shd")).alias("_i"),
+        (F.size("a.shd") + F.size("b.shd")).alias("_sab"),
+    )
+    return staged.select(
+        "doc_a", "doc_b",
+        F.round(F.col("_i") / (F.col("_sab") - F.col("_i")), 4)
+        .alias("jaccard"),
     )
 
 
@@ -395,15 +488,25 @@ def q_embedding_topk(spark, sf_dir):
         .collect()[0]["q"]
     )
     qlit = "array(" + ", ".join(repr(float(v)) + "D" for v in qvec) + ")"
+    # Round 8: the query norm is a CONSTANT, but spelled as an
+    # aggregate-over-literal HOF Catalyst will not constant-fold — r07
+    # re-folded the 64-element literal for every row.  Reproduce the
+    # identical IEEE double here (same 0.0 seed, same left-to-right
+    # (acc + v*v) fold, same sqrt) and inline it as a literal; _tp
+    # spreads the remaining per-row dot product across cores.
+    qn = 0.0
+    for v in qvec:
+        qn += float(v) * float(v)
+    qn = math.sqrt(qn)
     cos = F.expr(
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), " + qlit + ", "
         "(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) / "
         "(sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0.0D, "
-        "(acc, v) -> acc + v * v)) * "
-        "sqrt(aggregate(" + qlit + ", 0.0D, (acc, v) -> acc + v * v)))"
+        "(acc, v) -> acc + v * v)) * " + repr(qn) + "D)"
     )
+    ep = _t(spark, sf_dir, "embeddings")
     return (
-        e.select("vec_id", F.round(cos, 3).alias("cos_sim"))
+        ep.select("vec_id", F.round(cos, 3).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
         .filter(F.col("vec_id") != 0)
     )
@@ -458,7 +561,7 @@ def q_embedding_neardup_ivf(spark, sf_dir):
 
 def q_token_count(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.size(_words()).alias("ws_tokens"),
@@ -473,7 +576,7 @@ def q_token_count(spark, sf_dir):
 def q_quality_score(spark, sf_dir):
     """Quality scoring: length / mean-word-length / stopword-ratio
     heuristics (training-data filtering staple)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     n_words = F.size(_words())
     stop_hits = F.regexp_count(F.col("text"), F.lit("(^| )(the|a)( |$)"))
     return d.select(
@@ -488,7 +591,7 @@ def q_quality_score(spark, sf_dir):
 def q_langid(spark, sf_dir):
     """Language-ID heuristic: stopword-hit scoring, argmax by CASE —
     demo shape (the synthetic corpus's lang column is the label)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     en = F.regexp_count(F.col("text"), F.lit("(^| )(the|a|row|data)( |$)"))
     return d.select(
         "doc_id",
@@ -500,7 +603,7 @@ def q_langid(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     """Document fingerprint: md5 over the sorted distinct vocabulary
     (word-set normalization — order-insensitive near-dup key)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.md5(
@@ -514,18 +617,21 @@ def q_cdc_fold(spark, sf_dir):
     last-writer-wins per key (user_id) with delete folding — a final
     'error' event acts as the tombstone (op='D' analog).  This is the
     oracle-checkable twin of LakehouseSink.merge's window+guard."""
+    # Round 8: same max(struct) aggregate fold as q_lww_latest (the
+    # window shipped+sorted every event; the aggregate partial-
+    # aggregates map-side and picks the identical winner — struct
+    # ordering = the window's ORDER BY because event_id is unique).
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .filter(F.col("event_type") != "error")  # tombstoned keys drop out
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        )).alias("_w"))
+        .filter(F.col("_w.event_type") != "error")  # tombstoned keys drop
         .select(
             "user_id",
-            F.col("event_id").alias("last_event_id"),
-            F.col("event_type").alias("last_type"),
+            F.col("_w.event_id").alias("last_event_id"),
+            F.col("_w.event_type").alias("last_type"),
         )
     )
 
@@ -539,33 +645,34 @@ def q_state_diff(spark, sf_dir):
     * I — live at W2 only; U — live at both with a different last
       event; D — live at W1, tombstoned (final 'error') at W2.
     D rows carry NULL state columns, mirroring the sink's tombstones.
-    One window per snapshot + one key join — no content-bearing
-    shuffle beyond the winners, same shape as the sink path."""
+
+    Round 8 (guide §2.4 "remove shuffles outright"): r07 folded each
+    snapshot with its own window (two scans, two full-width hash
+    exchanges + sorts) and full-outer-joined them (a third exchange
+    pair).  Both snapshots are conditional aggregates over the SAME
+    scan: ``max(when(event_id < 5000, struct(…)))`` is the W1 winner,
+    ``max(struct(…))`` the W2 winner — one scan, one partial-agg
+    exchange, no join.  A user with no W1 events aggregates ``_o`` to
+    NULL, which is exactly the full-outer-miss the old join produced
+    (``coalesce(NULL ≠ 'error', false)`` = not-live).  Plan diff:
+    2×(Exchange+Sort+Window) + SortMergeJoin → one HashAggregate pair
+    (0.99 s → 0.56 s at the 1M-row scale shape, value-identical)."""
     ev = _events(spark, sf_dir)
-
-    def state(df):
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(
-                "user_id", "event_id", "event_type",
-                (F.col("event_type") != "error").alias("live"),
-            )
-        )
-
-    o = state(ev.filter(F.col("event_id") < 5000)).alias("o")
-    n = state(ev).alias("n")
-    j = o.join(n, "user_id", "full_outer")
-    o_live = F.coalesce(F.col("o.live"), F.lit(False))
-    n_live = F.coalesce(F.col("n.live"), F.lit(False))
+    g = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_id") < 5000, F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        ))).alias("_o"),
+        F.max(F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        )).alias("_n"),
+    )
+    o_live = F.coalesce(F.col("_o.event_type") != "error", F.lit(False))
+    n_live = F.coalesce(F.col("_n.event_type") != "error", F.lit(False))
     change = (
         F.when(~o_live & n_live, F.lit("I"))
         .when(
             o_live & n_live
-            & (F.col("o.event_id") != F.col("n.event_id")),
+            & (F.col("_o.event_id") != F.col("_n.event_id")),
             F.lit("U"),
         )
         .when(o_live & ~n_live, F.lit("D"))
@@ -574,13 +681,13 @@ def q_state_diff(spark, sf_dir):
         F.col("_change") != "D", F.col(c)
     )
     return (
-        j.withColumn("_change", change)
+        g.withColumn("_change", change)
         .filter(F.col("_change").isNotNull())
         .select(
             F.col("_change").alias("change"),
             "user_id",
-            live_or_null("n.event_id").alias("last_event_id"),
-            live_or_null("n.event_type").alias("last_type"),
+            live_or_null("_n.event_id").alias("last_event_id"),
+            live_or_null("_n.event_type").alias("last_type"),
         )
     )
 
@@ -836,7 +943,7 @@ def q_percentile_nchars(spark, sf_dir):
 
 def q_topn_per_group(spark, sf_dir):
     """§2.6 window rank: top-3 events by value per event_type."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(
         F.col("value").desc(), F.col("event_id").asc()
     )
@@ -859,7 +966,7 @@ def q_simhash(spark, sf_dir):
     family keeps its python-oracle pytest in test_training_ops.py."""
     from .similarity import simhash16
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents")
     return simhash16(d, "text", word_hash="md5_16").select(
         "doc_id", "simhash"
     )
