@@ -364,6 +364,30 @@ class LakehouseSink(Sink):
                     min(4_000_000, max(200_000, mem_bytes * 0.04 / 250))
                 )
         self.broadcast_key_limit = broadcast_key_limit
+        # Round 8 (guide §1.2 "the distributed algorithm"): the
+        # winners-first shape exists to keep a HUGE epoch's payload off
+        # the shuffle (measured at the 64M-event epoch: the full-width
+        # combined shuffle hit the disk-bandwidth floor).  For a SMALL
+        # epoch the tradeoff inverts: winners-first pays a serialized
+        # driver round-trip per epoch (collect ~100 k winner keys via
+        # Arrow → pyarrow stats → re-upload → broadcast build) plus a
+        # full rescan, while the bulk single-shuffle min_by moves a few
+        # hundred MB through the local page cache in one job (measured
+        # on the 2M-row bench epoch: 6.9 s → 5.7 s per replay).  When
+        # the caller can cheaply bound the epoch's input bytes (the
+        # file-backed replay always can), epochs at or under
+        # ``bulk_input_bytes_max`` take the bulk path.  The default —
+        # 1 GiB — is the scale boundary, not a local tuning: a 1 GiB
+        # epoch's combined shuffle is page-cache-resident on any
+        # executor this engine targets, and every 100 TB-scale epoch is
+        # far above it (the 64M-event corpus is ~3.5 GiB/epoch and
+        # correctly stays winners-first).  Env override:
+        # ATLAS_BULK_INPUT_MAX_BYTES.  Semantics are identical either
+        # way (same total order; equivalence property-tested in
+        # test_property_replay / test_sink_unit path suites).
+        self.bulk_input_bytes_max = int(
+            os.environ.get("ATLAS_BULK_INPUT_MAX_BYTES", str(1 << 30))
+        )
         self.mode = mode
         self._manifest_dir = os.path.join(root, "_manifests")
         # the OCC commit primitive is pluggable (commit_store.py): the
@@ -566,7 +590,8 @@ class LakehouseSink(Sink):
 
     # ------------------------------------------------------------- merge
     def merge(self, batch_df: DataFrame, epoch_id: int,
-              post_project=None, post_signature=None) -> dict:
+              post_project=None, post_signature=None,
+              input_bytes: int | None = None) -> dict:
         """Apply one micro-batch of change events (I/U/D rows).
 
         Expects columns: repo, path, commit, lang, content, seq, op
@@ -588,6 +613,14 @@ class LakehouseSink(Sink):
         steady-state stream pays the analyzer once, not per epoch.
         Callers that omit it get no memoization (a fresh lambda each
         epoch must not reuse another projection's schema).
+
+        ``input_bytes`` (optional): the batch's on-disk input size when
+        the caller knows it (the file-backed replay does).  At or under
+        ``bulk_input_bytes_max`` the merge takes the single-shuffle
+        bulk shape directly — identical semantics, no per-epoch driver
+        winner round-trip (see the __init__ comment for the scale
+        rationale).  Omitted → size unknown → winners-first, the
+        safe-at-scale default.
         """
         t0 = time.monotonic()
         # Inside Structured Streaming's foreachBatch the batch
@@ -734,18 +767,31 @@ class LakehouseSink(Sink):
         # separate count job.
         if self._capture is not None:
             self._capture["win_plan"] = _explain(win_plan)
+        # small-epoch fast path (round 8): a bounded input size makes
+        # the driver winner round-trip + broadcast build + full rescan
+        # strictly worse than one combined full-width shuffle — go
+        # bulk without collecting anything (see __init__ rationale)
+        prefer_bulk = (
+            input_bytes is not None
+            and input_bytes <= self.bulk_input_bytes_max
+        )
         _t_phase = time.monotonic()
-        # toArrow (not toPandas): the Arrow table keeps Spark's exact
-        # types (bigint stays int64 — no pandas NaN-float lift that
-        # would make a >2^53 seq lossy), the per-bucket stats run in
-        # pyarrow's C++ group_by, and the SAME buffers feed
-        # createDataFrame for the broadcast build side — the pandas
-        # double conversion was ~0.3 s/epoch of serialized driver time
-        # at the 380k-key bench shape.
-        win_tbl = win_plan.limit(self.broadcast_key_limit + 1).toArrow()
-        phase_ms["win_elect"] = int((time.monotonic() - _t_phase) * 1000)
+        if prefer_bulk:
+            win_tbl = None
+            small = False
+            phase_ms["win_elect"] = 0
+        else:
+            # toArrow (not toPandas): the Arrow table keeps Spark's
+            # exact types (bigint stays int64 — no pandas NaN-float
+            # lift that would make a >2^53 seq lossy), the per-bucket
+            # stats run in pyarrow's C++ group_by, and the SAME buffers
+            # feed createDataFrame for the broadcast build side — the
+            # pandas double conversion was ~0.3 s/epoch of serialized
+            # driver time at the 380k-key bench shape.
+            win_tbl = win_plan.limit(self.broadcast_key_limit + 1).toArrow()
+            phase_ms["win_elect"] = int((time.monotonic() - _t_phase) * 1000)
+            small = win_tbl.num_rows <= self.broadcast_key_limit
         _t_phase = time.monotonic()
-        small = win_tbl.num_rows <= self.broadcast_key_limit
         if small:
             import pyarrow.compute as pc
 
@@ -964,11 +1010,14 @@ class LakehouseSink(Sink):
                 f"row_number() OVER (PARTITION BY {part} "
                 "ORDER BY `seq` DESC, `_incoming` DESC)"
             )
-            if n_batch <= self.broadcast_key_limit:
+            if win_local is not None and n_batch <= self.broadcast_key_limit:
                 # normal micro-batch: broadcast the batch keys (the
                 # driver-local winner relation) — the (huge) existing
                 # side is scanned but NEVER shuffled; only ≤2×|batch|
-                # rows enter the guard window
+                # rows enter the guard window.  (win_local is None on
+                # the small-epoch bulk fast path even when the key
+                # count is broadcast-sized — the bulk existing shape's
+                # one small shuffle is the point of that path.)
                 bkeys = win_local.select(
                     *[F.col(f"_w{k}").alias(k) for k in KEY_COLS]
                 )

@@ -319,7 +319,8 @@ class ReplayRunner:
 
     # ------------------------------------------------------------ shared
     def apply_batch(self, df: DataFrame, epoch_id: int,
-                    started_at: float | None = None) -> dict:
+                    started_at: float | None = None,
+                    input_bytes: int | None = None) -> dict:
         """Validate → transform → merge, with the reject count observed
         on the merge pass itself (``df.observe`` CollectMetrics node
         upstream of the validity filter) — zero extra Spark jobs in the
@@ -373,7 +374,8 @@ class ReplayRunner:
                 self._transform_token,
             )
             res = self.sink.merge(
-                batch, epoch_id, post_project=post, post_signature=sig
+                batch, epoch_id, post_project=post, post_signature=sig,
+                input_bytes=input_bytes,
             )
             if isinstance(res.get("phase_ms"), dict):
                 res["phase_ms"]["prepare"] = prep_ms
@@ -594,7 +596,16 @@ class ReplayRunner:
             df = self.spark.read.schema(CHANGELOG_DDL).parquet(*files)
             if not self.dry_run:
                 self._record_epoch_plan(epoch_id, files)
-            res = self.apply_batch(df, epoch_id, started)
+            # file-backed epochs know their input size for free — the
+            # sink uses it to pick the small-epoch bulk merge shape
+            # (lakehouse.py bulk_input_bytes_max; unknown size means
+            # the safe-at-scale winners-first default)
+            try:
+                in_bytes = sum(os.path.getsize(f) for f in files)
+            except OSError:
+                in_bytes = None
+            res = self.apply_batch(df, epoch_id, started,
+                                   input_bytes=in_bytes)
             if os.environ.get("ATLAS_DEBUG_EPOCHS"):
                 import json as _json
                 print("EPOCH " + _json.dumps({
