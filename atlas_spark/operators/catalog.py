@@ -476,24 +476,42 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _read_query_vec(spark, sf_dir: str, vec_id: int = 0) -> list[float]:
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        import pyarrow.dataset as ds
+
+        tbl = ds.dataset(path).to_table(
+            columns=["embedding"], filter=ds.field("vec_id") == vec_id
+        )
+        return [float(v) for v in tbl["embedding"][0].as_py()]
+    except Exception:  # non-local FS / missing pyarrow: the Spark path
+        e = _t(spark, sf_dir, "embeddings")
+        return [
+            float(v)
+            for v in e.filter(F.col("vec_id") == vec_id)
+            .select(F.col("embedding").cast("array<double>").alias("q"))
+            .collect()[0]["q"]
+        ]
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine similarity vs a query vector (ANN baseline).
     Dot product via zip_with + aggregate — built-in higher-order
     functions, no UDF.  Threshold filter (not rank) so float rounding
     can't flip rows at a rank boundary."""
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").cast("array<double>").alias("q"))
-        .collect()[0]["q"]
-    )
+    # Round 8: the query vector is ONE row of input — a pyarrow read
+    # replaces the scheduled Spark collect job (~0.15 s of driver-
+    # serialized latency per invocation) with a ~10 ms local read;
+    # identical bytes from the identical parquet.  Falls back to the
+    # Spark collect for non-local paths.
+    qvec = _read_query_vec(spark, sf_dir)
     qlit = "array(" + ", ".join(repr(float(v)) + "D" for v in qvec) + ")"
     # Round 8: the query norm is a CONSTANT, but spelled as an
     # aggregate-over-literal HOF Catalyst will not constant-fold — r07
     # re-folded the 64-element literal for every row.  Reproduce the
     # identical IEEE double here (same 0.0 seed, same left-to-right
-    # (acc + v*v) fold, same sqrt) and inline it as a literal; _tp
-    # spreads the remaining per-row dot product across cores.
+    # (acc + v*v) fold, same sqrt) and inline it as a literal.
     qn = 0.0
     for v in qvec:
         qn += float(v) * float(v)
@@ -980,10 +998,7 @@ def q_ivf_ann(spark, sf_dir):
     from .similarity import IvfIndex
 
     e = _t(spark, sf_dir, "embeddings")
-    q = [
-        float(v)
-        for v in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    ]
+    q = _read_query_vec(spark, sf_dir)
     idx = IvfIndex(n_cells=16, nprobe=4)
     idx.build(e)
     return idx.search_threshold(q, threshold=0.2, exclude_id=0)
@@ -1020,10 +1035,14 @@ def q_detect_entities(spark, sf_dir):
     spans the pandas-UDF detector reports are DuckDB-computable with
     pure string arithmetic (VERDICT r02 #7) — DuckDB has no
     match-position function, so this construction is what makes the
-    span columns oracle-checkable at all."""
+    span columns oracle-checkable at all.
+
+    Round 8: _tp — the pandas-UDF detector inherited the single-row-
+    group scan's ONE partition, so the whole Arrow surface ran in one
+    Python worker (2.2 s → 0.85 s at the 50k-doc scale shape)."""
     from ..anonymize import Anonymizer
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = _tp(spark, sf_dir, "documents").withColumn(
         "_txt",
         F.expr(
             "text || ' reach user' || CAST(doc_id AS STRING) || "
