@@ -111,7 +111,13 @@ def capture_sections(spark) -> list[tuple[str, str, str]]:
         "exchange is the winner-width tiebreak aggregation "
         "(min_by commit — deterministic), and because pmod(hash(repo,"
         "path), n) IS Spark's HashPartitioning function it doubles as "
-        "bucket alignment: the partitioned write adds no exchange.",
+        "bucket alignment: the partitioned write adds no exchange. "
+        "(Round 8: this winners-first shape is the default for epochs "
+        "of unknown or large input size; file-backed epochs at or "
+        "under bulk_input_bytes_max — 1 GiB — skip the driver winner "
+        "round-trip and take the single-shuffle bulk min_by shape "
+        "instead, identical semantics, measured faster below the "
+        "threshold and captured in plans/r08/cdc_replay_merge_*.txt.)",
         out0,
     ))
     sections.append((
