@@ -400,12 +400,17 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     makes one giant band — run exact dedup FIRST (dedupe_corpus does),
     or cap band size; the oracle-equivalent join has the same skew.
     NULL band keys (docs with < 3 words) are filtered, matching SQL
-    join semantics where NULL = NULL is false."""
-    d = _tp(spark, sf_dir, "documents")
-    shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
-    sig = d.select("doc_id", F.expr(_mh(0, shd)).alias("mh0")).filter(
-        F.col("mh0").isNotNull()
+    join semantics where NULL = NULL is false.  Round 8: that filter
+    runs on the raw text (``size(split) >= 3`` ⟺ mh0 non-NULL)
+    BEFORE the projection — filtering on the computed ``mh0`` let
+    PushDownPredicate substitute the alias below the Project and
+    re-evaluate the whole shingle+md5 fold per row for the filter
+    (see q_ngram_jaccard; same fix, measured there)."""
+    d = _tp(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
     )
+    shd = f"array_distinct({_SHINGLE_EXPR.format(col='text')})"
+    sig = d.select("doc_id", F.expr(_mh(0, shd)).alias("mh0"))
     # band-size cap: a pathological band (constant/boilerplate corpus
     # surviving exact dedup) would otherwise materialize one giant
     # aggregation buffer row — degrade recall instead of OOMing; the
@@ -438,10 +443,18 @@ def q_ngram_jaccard(spark, sf_dir):
       shingle expression twice in the projection and HOF lambdas
       defeat Catalyst's subexpression elimination, so every row paid
       split+shingle+distinct twice;
+    * the NULL-band filter runs on the RAW text (``size(split) >= 3``,
+      exactly when ``mh0`` is non-NULL) BEFORE the projection — r07
+      filtered on the computed ``mh0``, and PushDownPredicate
+      substitutes the alias below the Project, re-evaluating the
+      whole shingle+md5 expression a second time per row just for the
+      filter (measured: 4.0 → 1.9 s at the 50k-doc shape);
     * |A∪B| is derived as |A|+|B|−|A∩B| (exact for distinct arrays)
       instead of materializing ``array_union`` — halves the per-pair
       set work (guide §1.2 "per-task work")."""
-    d = _tp(spark, sf_dir, "documents")
+    d = _tp(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
     sh = _SHINGLE_EXPR.format(col="text")
     both = (
         "element_at(transform(array(array_distinct(" + sh + ")), shd -> "
@@ -450,7 +463,7 @@ def q_ngram_jaccard(spark, sf_dir):
     )
     rel = d.select("doc_id", F.expr(both).alias("_s")).select(
         "doc_id", F.col("_s.shd").alias("shd"), F.col("_s.mh0").alias("mh0")
-    ).filter(F.col("mh0").isNotNull())
+    )
     g = rel.groupBy("mh0").agg(
         F.collect_list(F.struct("doc_id", "shd")).alias("ds")
     ).filter((F.size("ds") >= 2) & (F.size("ds") <= _MAX_BAND))
@@ -523,8 +536,15 @@ def q_embedding_topk(spark, sf_dir):
         "(acc, v) -> acc + v * v)) * " + repr(qn) + "D)"
     )
     ep = _t(spark, sf_dir, "embeddings")
+    # explode(array(·)) is a 1:1 Generate barrier: the threshold
+    # filter on the COMPUTED cos_sim would otherwise be pushed below
+    # the Project by PushDownPredicate (alias substitution) and
+    # re-evaluate the whole cosine fold a second time per row; a
+    # Generate's output column cannot be pushed through (plan check:
+    # one zip_with, not two).
     return (
-        ep.select("vec_id", F.round(cos, 3).alias("cos_sim"))
+        ep.select("vec_id",
+                  F.explode(F.array(F.round(cos, 3))).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.2)
         .filter(F.col("vec_id") != 0)
     )
@@ -547,7 +567,11 @@ def q_embedding_neardup(spark, sf_dir):
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(dot / (na * nb), 3))
+        # 1:1 Generate barrier — single cosine evaluation under the
+        # threshold filter (round 8; see q_embedding_topk)
+        .withColumn(
+            "cos_sim", F.explode(F.array(F.round(dot / (na * nb), 3)))
+        )
         .filter(F.col("cos_sim") >= 0.3)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -203,8 +203,12 @@ class IvfIndex:
         cells = self._probe_cells(list(map(float, vec)))
         cand = self.assigned.filter(F.col("_cell").isin(cells))
         cos = F.expr(_cos_sql(self.emb_col, _qlit(vec)))
+        # explode(array(·)) = 1:1 Generate barrier: keeps the threshold
+        # filter from being pushed below the Project and re-evaluating
+        # the cosine fold twice per row (round 8; see q_embedding_topk)
         out = cand.select(
-            self.id_col, F.round(cos, 3).alias("cos_sim")
+            self.id_col,
+            F.explode(F.array(F.round(cos, 3))).alias("cos_sim"),
         ).filter(F.col("cos_sim") >= threshold)
         if exclude_id is not None:
             out = out.filter(F.col(self.id_col) != exclude_id)
@@ -302,7 +306,9 @@ def embedding_neardups_ivf(df: DataFrame, threshold: float = 0.5,
             F.greatest(
                 F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
             ).alias("id_b"),
-            F.round(cos, 3).alias("cos_sim"),
+            # 1:1 Generate barrier — single cosine evaluation under the
+            # threshold filter (round 8; see q_embedding_topk)
+            F.explode(F.array(F.round(cos, 3))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
