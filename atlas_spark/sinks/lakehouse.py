@@ -792,6 +792,7 @@ class LakehouseSink(Sink):
             phase_ms["win_elect"] = int((time.monotonic() - _t_phase) * 1000)
             small = win_tbl.num_rows <= self.broadcast_key_limit
         _t_phase = time.monotonic()
+        stats_future = stats_pool = None
         if small:
             import pyarrow.compute as pc
 
@@ -844,23 +845,45 @@ class LakehouseSink(Sink):
                 else None
             )
         else:
-            # bulk load: winners exceed the driver/broadcast budget —
-            # recompute the stats distributed (one extra narrow job)
-            bs = win_plan.groupBy("_bucket").agg(
+            # bulk load: winners exceed the driver/broadcast budget (or
+            # the small-epoch fast path) — the stats come from one
+            # distributed narrow job.  Round 8 (guide §2.6 "overlap
+            # independent jobs"): the collect is submitted on a helper
+            # thread so the stats job runs WHILE the driver analyzes
+            # the write-side plans below — and, when no existing data
+            # can be read (empty table, or MoR which never reads
+            # existing), while the write job itself runs; the results
+            # are only consumed at commit time.  Identical values to
+            # the synchronous collect — only the wait moves.
+            bs_plan = win_plan.groupBy("_bucket").agg(
                 F.max("_wseq").alias("max_seq"),
                 F.count("*").alias("cnt"),
                 F.sum((F.col("_wp") == 2).cast("long")).alias("dels"),
                 F.sum("_grp_cnt").alias("raw"),
                 F.sum("_nver").alias("nver"),
-            ).collect()
-            rows_in = int(sum(r["raw"] for r in bs))
-            n_versions = int(sum(r["nver"] for r in bs))
-            n_batch = sum(r["cnt"] for r in bs)
-            n_deletes = sum(r["dels"] for r in bs)
-            wm = {str(r["_bucket"]): int(r["max_seq"]) for r in bs}
-            rows_per_bucket = {str(r["_bucket"]): int(r["cnt"]) for r in bs}
+            )
+            from concurrent.futures import ThreadPoolExecutor
+
+            stats_pool = ThreadPoolExecutor(max_workers=1)
+            stats_future = stats_pool.submit(bs_plan.collect)
+            rows_in = n_versions = n_batch = n_deletes = None
+            wm = rows_per_bucket = None
             win_local = None
         phase_ms["stats_driver"] = int((time.monotonic() - _t_phase) * 1000)
+
+        def _join_stats():
+            try:
+                bs = stats_future.result()
+            finally:
+                stats_pool.shutdown(wait=False)
+            return (
+                int(sum(r["raw"] for r in bs)),
+                int(sum(r["nver"] for r in bs)),
+                sum(r["cnt"] for r in bs),
+                sum(r["dels"] for r in bs),
+                {str(r["_bucket"]): int(r["max_seq"]) for r in bs},
+                {str(r["_bucket"]): int(r["cnt"]) for r in bs},
+            )
         _t_plan = time.monotonic()
         _t_sub = time.monotonic()
 
@@ -954,7 +977,7 @@ class LakehouseSink(Sink):
         )
         phase_ms["_sub_store"] = int((time.monotonic() - _t_sub) * 1000); _t_sub = time.monotonic()
 
-        if n_batch == 0:
+        def _empty_result():
             res = self._commit(m, {}, {}, fields, epoch_id, 0, 0)
             res.pop("parent_files", None)
             cm_fields = res.pop("committed_schema", fields)
@@ -969,7 +992,27 @@ class LakehouseSink(Sink):
             )
             return res
 
-        old_files = {b: m["files"].get(b, []) for b in wm}
+        # stats deferred past the write only when the write plan cannot
+        # depend on them: MoR never reads existing state, and an empty
+        # manifest has nothing to read regardless of the touched set
+        deferred_stats = stats_future is not None and (
+            self.mode == "mor" or not any(m["files"].values())
+        )
+        if stats_future is not None and not deferred_stats:
+            _t_phase = time.monotonic()
+            (rows_in, n_versions, n_batch, n_deletes,
+             wm, rows_per_bucket) = _join_stats()
+            phase_ms["stats_driver"] += int(
+                (time.monotonic() - _t_phase) * 1000)
+            _t_sub = time.monotonic()  # don't bill the join to existread
+
+        if not deferred_stats and n_batch == 0:
+            return _empty_result()
+
+        old_files = (
+            {} if deferred_stats
+            else {b: m["files"].get(b, []) for b in wm}
+        )
         have_existing = any(old_files.values()) and self.mode == "cow"
 
         if have_existing:
@@ -1070,6 +1113,17 @@ class LakehouseSink(Sink):
         _t_phase = time.monotonic()
         new_files, _ = self._write_buckets(out, epoch_id)
         phase_ms["write"] = int((time.monotonic() - _t_phase) * 1000)
+        if deferred_stats:
+            # the stats job ran concurrently with the write — join it
+            # now; commit consumes the identical values either way
+            _t_phase = time.monotonic()
+            (rows_in, n_versions, n_batch, n_deletes,
+             wm, rows_per_bucket) = _join_stats()
+            phase_ms["stats_driver"] += int(
+                (time.monotonic() - _t_phase) * 1000)
+            if n_batch == 0:
+                return _empty_result()
+            old_files = {b: m["files"].get(b, []) for b in wm}
 
         # cumulative per-bucket watermarks (atlas watermark analog,
         # core/export/batch.rs:337-343 — but true max(seq), not
