@@ -134,8 +134,10 @@ def q_lww_latest(spark, sf_dir):
     the unique event_id, so the tiebreak matches the window's
     ORDER BY exactly) but partial-aggregates map-side: the exchange
     carries ≤|keys| rows per map task instead of the table.  Plan
-    diff: Exchange+Sort+Window+Filter → partial/final HashAggregate
-    (1.24 s → 0.53 s at the 1M-row scale shape, value-identical)."""
+    diff: the Window is gone; the fold compiles to a partial/final
+    SortAggregate pair (a struct buffer is not hash-aggregable) whose
+    sort key is just user_id, not (user_id, ts, event_id)
+    (1.24 s → 0.6-0.7 s at the 1M-row scale shape, value-identical)."""
     ev = _events(spark, sf_dir)
     w = F.max(F.struct(
         F.col("ts"), F.col("event_id"), F.col("event_type"), F.col("value")
@@ -697,7 +699,9 @@ def q_state_diff(spark, sf_dir):
     exchange, no join.  A user with no W1 events aggregates ``_o`` to
     NULL, which is exactly the full-outer-miss the old join produced
     (``coalesce(NULL ≠ 'error', false)`` = not-live).  Plan diff:
-    2×(Exchange+Sort+Window) + SortMergeJoin → one HashAggregate pair
+    2×(Exchange+Sort+Window) + SortMergeJoin → one partial/final
+    SortAggregate pair and no join (struct buffers aren't
+    hash-aggregable; the win is one scan, one narrow-keyed exchange)
     (0.99 s → 0.56 s at the 1M-row scale shape, value-identical)."""
     ev = _events(spark, sf_dir)
     g = ev.groupBy("user_id").agg(
